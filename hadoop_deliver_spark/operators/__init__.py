@@ -1,0 +1,7 @@
+"""Operator modules — one per SURVEY.md §2 section.
+
+Importing this package registers every query into
+``hadoop_deliver_spark.registry.REGISTRY``.
+"""
+
+from hadoop_deliver_spark.operators import aggregates  # noqa: F401

@@ -1,0 +1,432 @@
+"""§2.D — Aggregations.
+
+All aggregation here is expressed declaratively so Catalyst plans
+HashAggregateExec partial→final pairs (map-side combine before the
+shuffle). At 100 TB the partial aggregate is what keeps shuffle volume
+proportional to |groups|, not |rows| — nothing in this module ever
+materializes rows on the driver.
+
+Float policy: every value-hashed double aggregate is rounded to 4
+decimals on both the Spark and DuckDB side (FIXTURES.md oracle notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+_R = 4  # float rounding decimals, mirrored in every oracle
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the `entry()` flagship.
+
+    scan → filter(shipdate) → hash-agg (5 aggregates) → sort. The
+    filter and the 2-column-of-11 projection reach the parquet scan
+    (PushedFilters/ReadSchema); the agg is partial→final so the
+    shuffle carries ≤ |A,N,R|×|F,O| = 6 groups per partition.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), _R).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), {_R}) AS sum_qty,
+       round(sum(l_extendedprice), {_R}) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS sum_disc_price,
+       round(avg(l_quantity), {_R}) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register("agg_groupby_basic", FLAGSHIP_ORACLE)(flagship)
+
+
+@register(
+    "agg_global",
+    f"""
+    SELECT round(sum(l_quantity), {_R}) AS sum_qty,
+           round(avg(l_extendedprice), {_R}) AS avg_price,
+           round(min(l_discount), {_R}) AS min_disc,
+           round(max(l_tax), {_R}) AS max_tax,
+           count(*) AS n_rows,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-group aggregate over the fact table (single reduce to 1 row)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
+        F.round(F.min("l_discount"), _R).alias("min_disc"),
+        F.round(F.max("l_tax"), _R).alias("max_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expands to a two-phase agg)."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("agg_approx_count_distinct", None)  # rows-only: HLL++ sketch is Spark-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path for cardinality.
+
+    No oracle: DuckDB's approx sketch differs by design. The query
+    also emits the exact count so the rows-only check still guards
+    the pipeline (and a human can eyeball the rsd).
+    """
+    ev = tbl(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "agg_stats",
+    f"""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), {_R}) AS sd_price,
+           round(var_samp(l_extendedprice), 2) AS var_price,
+           round(corr(l_extendedprice, l_discount), {_R}) AS corr_price_disc,
+           round(covar_samp(l_extendedprice, l_discount), {_R}) AS covar_price_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (single-pass moment computation)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), _R).alias("sd_price"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_extendedprice", "l_discount"), _R).alias(
+                "corr_price_disc"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), _R).alias(
+                "covar_price_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentile",
+    f"""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), {_R}) AS med_price,
+           round(quantile_cont(o_totalprice, 0.25), {_R}) AS p25_price,
+           round(quantile_cont(o_totalprice, 0.90), {_R}) AS p90_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interpolated percentiles per group.
+
+    Uses Spark's exact `percentile` (sort-based) so it hash-matches
+    DuckDB's quantile_cont; `percentile_approx` (the t-digest scale
+    path for 100 TB) is exercised rows-only in fn_misc company.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), _R).alias("med_price"),
+            F.round(F.percentile("o_totalprice", 0.25), _R).alias("p25_price"),
+            F.round(F.percentile("o_totalprice", 0.90), _R).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_collect",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           list_sort(list(DISTINCT n_regionkey + n_nationkey)) AS key_set
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group array collection (ObjectHashAggregate), sorted for
+    determinism before hashing."""
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_sort(
+                F.collect_set(F.col("n_regionkey") + F.col("n_nationkey"))
+            ).alias("key_set"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_first_last",
+    f"""
+    SELECT o_custkey,
+           round(min_by(o_totalprice, o_orderkey), {_R}) AS first_price,
+           round(max_by(o_totalprice, o_orderkey), {_R}) AS last_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last value per group under an explicit unique ordering
+    (min_by/max_by on the unique orderkey — deterministic, unlike bare
+    first()/last() whose result depends on partition arrival order)."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.min_by("o_totalprice", "o_orderkey"), _R).alias("first_price"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), _R).alias("last_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH counted AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), ranked AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY n DESC, c_mktsegment) AS rn
+        FROM counted
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS mode_count
+    FROM ranked WHERE rn = 1 ORDER BY c_nationkey
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value per group, with a deterministic tie-break
+    (count desc, value asc) — bare `mode()` is tie-arbitrary in both
+    engines, so the engine computes it relationally: count → rank → 1.
+    Scales as two hash aggs + one small shuffle (no row explosion)."""
+    c = tbl(spark, sf_dir, "customer")
+    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), {_R}) AS total_bal,
+           count(*) AS n_cust,
+           grouping(r_name) * 2 + grouping(n_name) AS gid
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY gid, r_name, n_name
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal hierarchy region → nation → grand total (expands to a
+    3-grouping-set expand+agg; one shuffle regardless of set count)."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), _R).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "r_name", "n_name")
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), {_R}) AS sum_qty,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations over (returnflag, linestatus)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), {_R}) AS total,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: by-status and by-priority in one pass."""
+    o = tbl(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("hds_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), {_R}) AS total,
+               count(*) AS n
+        FROM hds_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type values into count columns. Values are listed
+    explicitly — at 100 TB an unlisted pivot needs an extra distinct
+    pass over the data just to discover the columns."""
+    ev = tbl(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)  # absent combos: null in pivot, 0 in oracle
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keyed dedup keeping the earliest row per key — the
+    deterministic form of dropDuplicates (whose survivor choice is
+    arrival-order-dependent). One shuffle on the dedup key; state per
+    group is O(1) via the rank-filter pattern."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (Catalyst rewrites to a hash aggregate)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )

@@ -1,0 +1,52 @@
+"""Fixture table loader.
+
+All queries read the driver-generated parquet fixtures at
+``{sf_dir}/{table}.parquet`` (see TESTDATA.md / FIXTURES.md). The one
+ingestion quirk: ``events.ts`` is parquet TIMESTAMP(NANOS), which
+PySpark 4.x cannot decode natively. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
+nanoseconds; ``timestamp_micros(ts div 1000)`` converts by *integer*
+µs truncation — bit-exact with DuckDB's native ns→µs cast (a
+float ``/1e9`` division would drift by ~0.5 µs at 2024 epochs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs this engine depends on.
+
+    The driver owns SparkSession creation, so everything here must be
+    (and is) a *runtime-settable* SQL conf — verified on pyspark 4.1.2.
+    Idempotent; called by every query entry point.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, applying ingestion shims."""
+    prepare_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # int64-nanos → µs-truncated timestamp (exact integer math).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
