@@ -4,4 +4,11 @@ Importing this package registers every query into
 ``hadoop_deliver_spark.registry.REGISTRY``.
 """
 
-from hadoop_deliver_spark.operators import aggregates  # noqa: F401
+from hadoop_deliver_spark.operators import (  # noqa: F401
+    aggregates,
+    functions,
+    joins,
+    projections,
+    setops,
+    sorts,
+)

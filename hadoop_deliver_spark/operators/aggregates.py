@@ -6,8 +6,12 @@ shuffle). At 100 TB the partial aggregate is what keeps shuffle volume
 proportional to |groups|, not |rows| — nothing in this module ever
 materializes rows on the driver.
 
-Float policy: every value-hashed double aggregate is rounded to 4
-decimals on both the Spark and DuckDB side (FIXTURES.md oracle notes).
+Float policy: every *computed* double aggregate is cast to float32
+(`FLOAT`/`REAL`) on both the Spark and DuckDB side; raw value
+selections (min/max/min_by/...) pass through as float64. Cross-engine
+sums differ in the last double ulps (summation order), and round()
+semantics differ at decimal ties — the float32 collapse removes both
+while staying bit-exact under the driver's value hash.
 """
 
 from __future__ import annotations
@@ -35,12 +39,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), _R).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
+            F.sum("l_quantity").cast("float").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("float").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("float")
+            .alias("sum_disc_price"),
+            F.avg("l_quantity").cast("float").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -49,10 +53,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FLAGSHIP_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), {_R}) AS sum_qty,
-       round(sum(l_extendedprice), {_R}) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS sum_disc_price,
-       round(avg(l_quantity), {_R}) AS avg_qty,
+       CAST(sum(l_quantity) AS REAL) AS sum_qty,
+       CAST(sum(l_extendedprice) AS REAL) AS sum_base_price,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS sum_disc_price,
+       CAST(avg(l_quantity) AS REAL) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -66,10 +70,10 @@ register("agg_groupby_basic", FLAGSHIP_ORACLE)(flagship)
 @register(
     "agg_global",
     f"""
-    SELECT round(sum(l_quantity), {_R}) AS sum_qty,
-           round(avg(l_extendedprice), {_R}) AS avg_price,
-           round(min(l_discount), {_R}) AS min_disc,
-           round(max(l_tax), {_R}) AS max_tax,
+    SELECT CAST(sum(l_quantity) AS REAL) AS sum_qty,
+           CAST(avg(l_extendedprice) AS REAL) AS avg_price,
+           min(l_discount) AS min_disc,
+           max(l_tax) AS max_tax,
            count(*) AS n_rows,
            min(l_shipdate) AS first_ship,
            max(l_shipdate) AS last_ship
@@ -80,10 +84,10 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-group aggregate over the fact table (single reduce to 1 row)."""
     li = tbl(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
-        F.round(F.min("l_discount"), _R).alias("min_disc"),
-        F.round(F.max("l_tax"), _R).alias("max_tax"),
+        F.sum("l_quantity").cast("float").alias("sum_qty"),
+        F.avg("l_extendedprice").cast("float").alias("avg_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
@@ -131,10 +135,10 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     f"""
     SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), {_R}) AS sd_price,
-           round(var_samp(l_extendedprice), 2) AS var_price,
-           round(corr(l_extendedprice, l_discount), {_R}) AS corr_price_disc,
-           round(covar_samp(l_extendedprice, l_discount), {_R}) AS covar_price_disc
+           CAST(stddev_samp(l_extendedprice) AS REAL) AS sd_price,
+           CAST(var_samp(l_extendedprice) AS REAL) AS var_price,
+           CAST(corr(l_extendedprice, l_discount) AS REAL) AS corr_price_disc,
+           CAST(covar_samp(l_extendedprice, l_discount) AS REAL) AS covar_price_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -144,12 +148,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_extendedprice"), _R).alias("sd_price"),
-            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-            F.round(F.corr("l_extendedprice", "l_discount"), _R).alias(
+            F.stddev_samp("l_extendedprice").cast("float").alias("sd_price"),
+            F.var_samp("l_extendedprice").cast("float").alias("var_price"),
+            F.corr("l_extendedprice", "l_discount").cast("float").alias(
                 "corr_price_disc"
             ),
-            F.round(F.covar_samp("l_extendedprice", "l_discount"), _R).alias(
+            F.covar_samp("l_extendedprice", "l_discount").cast("float").alias(
                 "covar_price_disc"
             ),
         )
@@ -161,9 +165,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     f"""
     SELECT o_orderstatus,
-           round(median(o_totalprice), {_R}) AS med_price,
-           round(quantile_cont(o_totalprice, 0.25), {_R}) AS p25_price,
-           round(quantile_cont(o_totalprice, 0.90), {_R}) AS p90_price
+           CAST(median(o_totalprice) AS REAL) AS med_price,
+           CAST(quantile_cont(o_totalprice, 0.25) AS REAL) AS p25_price,
+           CAST(quantile_cont(o_totalprice, 0.90) AS REAL) AS p90_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -178,9 +182,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.round(F.median("o_totalprice"), _R).alias("med_price"),
-            F.round(F.percentile("o_totalprice", 0.25), _R).alias("p25_price"),
-            F.round(F.percentile("o_totalprice", 0.90), _R).alias("p90_price"),
+            F.median("o_totalprice").cast("float").alias("med_price"),
+            F.percentile("o_totalprice", 0.25).cast("float").alias("p25_price"),
+            F.percentile("o_totalprice", 0.90).cast("float").alias("p90_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -215,8 +219,8 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_first_last",
     f"""
     SELECT o_custkey,
-           round(min_by(o_totalprice, o_orderkey), {_R}) AS first_price,
-           round(max_by(o_totalprice, o_orderkey), {_R}) AS last_price,
+           min_by(o_totalprice, o_orderkey) AS first_price,
+           max_by(o_totalprice, o_orderkey) AS last_price,
            count(*) AS n_orders
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
@@ -229,8 +233,8 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.round(F.min_by("o_totalprice", "o_orderkey"), _R).alias("first_price"),
-            F.round(F.max_by("o_totalprice", "o_orderkey"), _R).alias("last_price"),
+            F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_custkey")
@@ -281,7 +285,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     f"""
     SELECT r_name, n_name,
-           round(sum(c_acctbal), {_R}) AS total_bal,
+           CAST(sum(c_acctbal) AS REAL) AS total_bal,
            count(*) AS n_cust,
            grouping(r_name) * 2 + grouping(n_name) AS gid
     FROM customer c
@@ -303,7 +307,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), _R).alias("total_bal"),
+            F.sum("c_acctbal").cast("float").alias("total_bal"),
             F.count(F.lit(1)).alias("n_cust"),
             F.grouping_id().alias("gid"),
         )
@@ -315,7 +319,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), {_R}) AS sum_qty,
+           CAST(sum(l_quantity) AS REAL) AS sum_qty,
            grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -328,7 +332,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+            F.sum("l_quantity").cast("float").alias("sum_qty"),
             F.grouping_id().alias("gid"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -339,7 +343,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     f"""
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), {_R}) AS total,
+           CAST(sum(o_totalprice) AS REAL) AS total,
            count(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -353,7 +357,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
-               round(sum(o_totalprice), {_R}) AS total,
+               CAST(sum(o_totalprice) AS FLOAT) AS total,
                count(*) AS n
         FROM hds_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))

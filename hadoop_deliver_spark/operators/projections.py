@@ -9,6 +9,17 @@ column chunk and reading the table.
 
 The fixtures contain no NULLs (FIXTURES.md), so null-predicate
 queries derive them with ``nullif`` — same trick on the oracle side.
+
+Float policy (engine-wide): *computed* double outputs are cast to
+float32 (`FLOAT`/`REAL`) on both the Spark and oracle side — raw
+parquet doubles pass through untouched. Rationale: Spark's round() on
+doubles goes through the shortest decimal repr (BigDecimal.valueOf)
+while DuckDB rounds the binary value, so money products (exact 4-6
+decimal digits → frequent decimal ties) systematically disagree in
+the last rounded digit; and cross-engine aggregate sums differ in the
+final ulps from summation order. A float32 cast collapses both
+discrepancy classes (double ulp ≪ float32 ulp) with no rounding-rule
+dependence at all, making results bit-identical and hash-safe.
 """
 
 from __future__ import annotations
@@ -28,7 +39,7 @@ _R = 4
     SELECT c_custkey AS cust_id,
            c_name,
            c_mktsegment AS segment,
-           round(c_acctbal * 1.05, {_R}) AS grown_bal
+           CAST(c_acctbal * 1.05 AS REAL) AS grown_bal
     FROM customer ORDER BY cust_id
     """,
 )
@@ -40,7 +51,7 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cust_id"),
         "c_name",
         F.col("c_mktsegment").alias("segment"),
-        F.round(F.col("c_acctbal") * 1.05, _R).alias("grown_bal"),
+        (F.col("c_acctbal") * 1.05).cast("float").alias("grown_bal"),
     ).orderBy("cust_id")
 
 
@@ -48,19 +59,20 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project_expr",
     f"""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), {_R}) AS revenue,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), {_R}) AS charged
+           CAST(l_extendedprice * (1 - l_discount) AS REAL) AS revenue,
+           CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS REAL) AS charged
     FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 )
 def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-expression projection via selectExpr."""
+    """SQL-expression projection via selectExpr. (Money expressions are
+    surfaced as float32 — see the module float policy.)"""
     li = tbl(spark, sf_dir, "lineitem")
     return li.selectExpr(
         "l_orderkey",
         "l_linenumber",
-        f"round(l_extendedprice * (1 - l_discount), {_R}) AS revenue",
-        f"round(l_extendedprice * (1 - l_discount) * (1 + l_tax), {_R}) AS charged",
+        "CAST(l_extendedprice * (1 - l_discount) AS FLOAT) AS revenue",
+        "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS FLOAT) AS charged",
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -219,8 +231,8 @@ def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST(CAST(o_totalprice AS INTEGER) AS BIGINT) AS price_int,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(trunc(o_totalprice) AS INTEGER) AS BIGINT) AS price_int,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
            CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_num
     FROM orders ORDER BY o_orderkey
     """,
@@ -233,7 +245,13 @@ def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.round(F.col("o_totalprice"), 10).cast("int").cast("long").alias("price_int"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        # Spark's double→int cast truncates toward zero; DuckDB's
+        # rounds — the oracle carries an explicit trunc() to match.
+        F.col("o_totalprice").cast("int").cast("long").alias("price_int"),
+        # date outputs surface as midnight timestamps: Spark DateType
+        # reaches pandas as datetime.date objects while DuckDB DATE
+        # arrives as datetime64 — same value, different cell type, so a
+        # raw date column can never value-hash across engines.
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
         F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
     ).orderBy("o_orderkey")

@@ -55,7 +55,11 @@ def canon_rows(df: pd.DataFrame) -> tuple[list[str], list[list]]:
     return cols, rows
 
 
-def _cells_equal(a, b, atol=1e-6) -> bool:
+def _cells_equal(a, b) -> bool:
+    # EXACT equality, including floats: the driver's t2 gate hashes raw
+    # values, so any numeric slop that needs tolerance here would fail
+    # there. The engine's float policy (computed doubles → float32 on
+    # both sides) is what makes exactness achievable.
     if a is None and b is None:
         return True
     a_nan = isinstance(a, float) and math.isnan(a)
@@ -65,9 +69,9 @@ def _cells_equal(a, b, atol=1e-6) -> bool:
     if (a is None) != (b is None):
         return False
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=atol)
+        return float(a) == float(b)
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y, atol) for x, y in zip(a, b))
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     if isinstance(a, datetime) and isinstance(b, datetime):
         return a.replace(tzinfo=None) == b.replace(tzinfo=None)
     return a == b
