@@ -11,4 +11,5 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     projections,
     setops,
     sorts,
+    windows,
 )
