@@ -11,5 +11,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     projections,
     setops,
     sorts,
+    sources,
+    udfs,
     windows,
 )

@@ -1,0 +1,333 @@
+"""§2.A — Scans / sources / sinks.
+
+The driver fixtures are parquet-only, so the CSV/JSON/text/ORC scans
+read one-time stagings of those fixtures under ``/tmp/hds_stage/<sf>``
+(created lazily, reused across calls). Every oracle reads the
+ORIGINAL table view instead of the staged file — the staged artifact
+is byte-equivalent by construction, so the parity check verifies
+exactly what a scan operator must guarantee: the engine reads back
+precisely the rows that were written, whatever the format.
+
+Sinks re-read their own output and surface its content (or a content
+aggregate) so the same write→read roundtrip contract is hash-checked.
+
+Scale notes: all paths here are steady-state streaming/batch writer
+patterns — partitioned parquet for date-layout delivery, bucketed
+tables for co-located joins (a bucketed write shuffles once at write
+time and never again at join time), `availableNow` replay for
+catch-up streaming. The only deliberately non-scalable piece is
+``coalesce(1)`` in sink_csv_single, which exists precisely to model
+the reference genre's single-file `getmerge` delivery step.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+_STAGE = "/tmp/hds_stage"
+_counter = itertools.count()
+
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _stage_dir(sf_dir: str, leaf: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_STAGE, tag, leaf)
+
+
+def _ensure_staged(df: DataFrame, path: str, fmt: str, **options) -> str:
+    """Write ``df`` to ``path`` in ``fmt`` once; reuse afterwards."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").options(**options).format(fmt).save(path)
+    return path
+
+
+@register(
+    "scan_parquet",
+    """
+    SELECT count(*) AS n_rows,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key,
+           CAST(sum(l_quantity) AS REAL) AS sum_qty
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan of the fact table + count/minmax/sum probe
+    (the vectorized reader path every other operator builds on)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.sum("l_quantity").cast("float").alias("sum_qty"),
+    )
+
+
+@register("scan_csv", "SELECT * FROM customer")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema + header: parquet→CSV→DataFrame
+    roundtrip must reproduce the table bit-exactly (doubles survive via
+    shortest-repr formatting on write and nearest-double parse on
+    read)."""
+    path = _ensure_staged(
+        tbl(spark, sf_dir, "customer"),
+        _stage_dir(sf_dir, "customer_csv"),
+        "csv",
+        header=True,
+    )
+    schema = (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@register("scan_json", "SELECT * FROM nation")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (the schema-on-read model
+    of the reference genre, minus the per-job parsing code)."""
+    path = _ensure_staged(
+        tbl(spark, sf_dir, "nation"), _stage_dir(sf_dir, "nation_json"), "json"
+    )
+    return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(
+        path
+    )
+
+
+@register(
+    "scan_text",
+    """
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(length(text)) AS min_len,
+           max(length(text)) AS max_len
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line scan (the Hadoop Streaming input model): one string
+    column named `value`, one row per line."""
+    path = _ensure_staged(
+        tbl(spark, sf_dir, "documents").select("text"),
+        _stage_dir(sf_dir, "documents_text"),
+        "text",
+    )
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+@register(
+    "scan_orc",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(l_extendedprice) AS REAL) AS sum_price,
+           min(l_shipdate) AS first_ship
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (DuckDB cannot read ORC, so the oracle reads the
+    parquet original — same rows by construction)."""
+    path = _ensure_staged(
+        tbl(spark, sf_dir, "lineitem"), _stage_dir(sf_dir, "lineitem_orc"), "orc"
+    )
+    return (
+        spark.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").cast("float").alias("sum_price"),
+            F.min("l_shipdate").alias("first_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(o_totalprice) AS REAL) AS total
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write (the date-layout delivery pattern:
+    one directory per key, partition pruning for every later reader),
+    then a read-back aggregate over the partition column — which never
+    touches the data files, only directory names + footers."""
+    out = _stage_dir(sf_dir, "orders_by_status")
+    tbl(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").cast("float").alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register("sink_csv_single", "SELECT * FROM region")
+def sink_csv_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single merged CSV delivery (`hadoop fs -getmerge` equivalent):
+    coalesce(1) forces one output file — correct only for small final
+    results; a 100 TB delivery keeps N files and merges at the
+    consumer."""
+    out = _stage_dir(sf_dir, "region_csv_single")
+    tbl(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.schema("r_regionkey INT, r_name STRING").option(
+        "header", True
+    ).csv(out)
+
+
+@register(
+    "sink_bucketed",
+    """
+    SELECT c_nationkey, count(*) AS n_cust,
+           CAST(sum(c_acctbal) AS REAL) AS total_bal
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed + sorted table write: pre-shuffles once on the join
+    key at write time so later joins/aggs on c_nationkey read
+    co-located buckets with no exchange — the 100 TB answer to a
+    repeatedly-joined dimension key."""
+    out = _stage_dir(sf_dir, "customer_bucketed")
+    name = "hds_customer_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        tbl(spark, sf_dir, "customer")
+        .write.bucketBy(4, "c_nationkey")
+        .sortBy("c_custkey")
+        .option("path", out)
+        .saveAsTable(name)
+    )
+    return (
+        spark.table(name)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("c_acctbal").cast("float").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file source over the events fixture. The file
+    source wants a *directory* it can discover files in (that is the
+    whole replay/backlog model), so the single-file fixture is staged
+    into one once; ts stays int64-nanos through the staging write and
+    gets the same µs-truncation shim as the batch loader."""
+    from hadoop_deliver_spark.tables import prepare_session
+
+    prepare_session(spark)
+    stage = _ensure_staged(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        _stage_dir(sf_dir, "events_stream_src"),
+        "parquet",
+    )
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "source_stream_files",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(value) AS REAL) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming replay of events with
+    trigger(availableNow): processes the backlog as micro-batches then
+    stops — finite, deterministic, and identical to the batch answer
+    (the streaming-vs-batch equivalence that anchors all §2.I checks).
+    Memory sink is test-only; production path is toTable/parquet."""
+    n = next(_counter)
+    qname = f"hds_src_stream_{n}"
+    cp = _stage_dir(sf_dir, f"cp_src_{n}")
+    shutil.rmtree(cp, ignore_errors=True)
+    agg = _events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("float").alias("total_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("event_type")
+
+
+@register(
+    "sink_stream_table",
+    """
+    SELECT user_id, count(*) AS n_purchases,
+           CAST(sum(value) AS REAL) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sink_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet sink: filter the stream, append to a table
+    directory with exactly-once file commits (checkpointed), then
+    read the sink back and aggregate — write path is the scalable
+    append-only delivery pattern."""
+    n = next(_counter)
+    out = _stage_dir(sf_dir, f"purchases_sink_{n}")
+    cp = _stage_dir(sf_dir, f"cp_sink_{n}")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    filtered = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        filtered.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").cast("float").alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )

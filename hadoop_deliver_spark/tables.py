@@ -12,6 +12,8 @@ float ``/1e9`` division would drift by ~0.5 µs at 2024 epochs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,13 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # A driver-owned session arrives with the 200-partition default;
+    # size the shuffle to the machine (AQE coalesces the excess, but
+    # the *cap* matters for small stages and streaming state dirs).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     return spark
 
 
