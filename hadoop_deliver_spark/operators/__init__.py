@@ -12,6 +12,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     setops,
     sorts,
     sources,
+    streaming,
     udfs,
     windows,
 )

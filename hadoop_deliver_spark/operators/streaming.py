@@ -1,0 +1,456 @@
+"""§2.I — Streaming operators over the `events` replay.
+
+Every query runs a real Structured Streaming pipeline with
+``trigger(availableNow=True)``: the backlog is processed as
+micro-batches, watermarks advance between batches, and the query
+stops — finite and deterministic, so results are hash-checkable
+against batch SQL (the streaming-vs-batch equivalence is the oracle
+strategy for all windowed ops; survivor-arbitrary / emission-timing
+ops are rows-only).
+
+Memory sinks are test-scale only (they materialize on the driver);
+the production path is `toTable`/parquet — exercised by
+`sink_stream_table` in operators.sources. State stores are
+HDFS-backed by default here; at 100 TB state (big session windows,
+wide dedup keys) flip
+`spark.sql.streaming.stateStore.providerClass` to RocksDB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.operators.sources import (
+    _counter,
+    _ensure_staged,
+    _events_stream,
+    _stage_dir,
+)
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession, sf_dir: str,
+                   mode: str) -> DataFrame:
+    """Run a streaming DF to completion into a memory sink, return the
+    collected result as a batch DataFrame."""
+    n = next(_counter)
+    qname = f"hds_stream_{n}"
+    cp = _stage_dir(sf_dir, f"cp_stream_{n}")
+    shutil.rmtree(cp, ignore_errors=True)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
+@register(
+    "stream_tumbling_count",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling-window counts with a 10-minute watermark
+    (complete mode → every window emitted → equals the batch answer;
+    append-mode closed-window semantics are exercised by
+    stream_late_data)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    return _run_to_memory(agg, spark, sf_dir, "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "stream_sliding_avg",
+    """
+    WITH expanded AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   - to_minutes(15 * (3 - i))
+                   + to_minutes(15 * (minute(CAST(ts AS TIMESTAMP)) // 15))
+                   AS window_start,
+               value
+        FROM events, unnest(range(0, 4)) AS t(i)
+    )
+    SELECT window_start,
+           CAST(avg(value) AS REAL) AS avg_value,
+           count(*) AS n
+    FROM expanded GROUP BY window_start ORDER BY window_start
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4
+    windows). Oracle reconstructs the window set relationally: the 4
+    slide-aligned starts covering each event's timestamp."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.avg("value").cast("float").alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("window.start").alias("window_start"), "avg_value", "n")
+    )
+    return _run_to_memory(agg, spark, sf_dir, "complete").orderBy("window_start")
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+                         OR lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ), tagged AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM tagged GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+    Spark merges overlapping [ts, ts+gap) intervals in the state
+    store; the oracle derives identical sessions with the
+    gaps-and-islands pattern (lag → new-session flag → running sum)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark, sf_dir, "complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_unique
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark,
+    then count survivors per type. Which physical row survives is
+    arrival-order-dependent, so the checked output is the *count* —
+    exactly one survivor per live key, equal to the batch distinct."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    collected = _run_to_memory(deduped, spark, sf_dir, "append")
+    return (
+        collected.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.user_id, count(*) AS n_pairs,
+           CAST(sum(p.value) AS REAL) AS purchase_value
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click→purchase attribution within 1h,
+    watermarks on both sides bound the join state (without them the
+    engine would buffer both streams forever — the 100 TB failure
+    mode). Inner-join output is emission-time-independent, so the
+    pair set hash-matches the batch join."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    collected = _run_to_memory(joined, spark, sf_dir, "append")
+    return (
+        collected.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("p_value").cast("float").alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           CAST(sum(e.value) AS REAL) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static dimension join (stateless — the static side is
+    just broadcast into every micro-batch; no watermark needed)."""
+    from hadoop_deliver_spark.tables import tbl
+
+    ev = _events_stream(spark, sf_dir)
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    ).select("c_mktsegment", "value")
+    collected = _run_to_memory(joined, spark, sf_dir, "append")
+    return (
+        collected.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("float").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register("stream_stateful_custom", None)  # rows-only: emission timing is engine-specific
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState: a
+    per-user running event counter + value accumulator that emits its
+    state every micro-batch. State lives in the state store keyed by
+    user; at scale this is the custom-operator escape hatch (RocksDB
+    provider for large state). Rows-only: per-batch emission makes the
+    row multiset depend on micro-batch boundaries."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "total_value": [total]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    tracked = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, v double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    collected = _run_to_memory(tracked, spark, sf_dir, "update")
+    # final state per user = max event count seen
+    return (
+        collected.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").cast("float").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _two_batch_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as two parquet files so availableNow +
+    maxFilesPerTrigger=1 replays them as two ordered micro-batches:
+    file A = everything except a deterministic hold-back set of old
+    rows; file B = those held-back old rows (now *late*: the batch-A
+    watermark has long passed their event times) plus nothing else.
+    File order is pinned with explicit mtimes (the file source sorts
+    by modification time)."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = _stage_dir(sf_dir, "events_two_batches")
+    a_path = os.path.join(out, "a_main.parquet")
+    b_path = os.path.join(out, "b_late.parquet")
+    if os.path.exists(b_path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_ns = pc.cast(t["ts"], pa.int64())
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_ns)
+    cutoff = int(
+        datetime(2024, 1, 8, tzinfo=timezone.utc).timestamp() * 1_000_000_000
+    )
+    held_back = pc.and_(
+        pc.less(t["ts"], pa.scalar(cutoff, pa.int64())),
+        pc.equal(pc.bit_wise_and(t["event_id"], pa.scalar(3, pa.int64())),
+                 pa.scalar(0, pa.int64())),
+    )
+    pq.write_table(t.filter(pc.invert(held_back)), a_path)
+    pq.write_table(t.filter(held_back), b_path)
+    now = os.path.getmtime(b_path)
+    os.utime(a_path, (now - 10, now - 10))
+    os.utime(b_path, (now, now))
+    return out
+
+
+@register(
+    "stream_late_data",
+    """
+    WITH kept AS (
+        SELECT * FROM events
+        WHERE NOT (CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+                   AND (event_id & 3) = 0)
+    ), wm AS (
+        SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM kept
+    ), g AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               count(*) AS n
+        FROM kept GROUP BY 1
+    )
+    SELECT g.window_start, g.n
+    FROM g, wm WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+    ORDER BY g.window_start
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop demonstration, run as the real-world restart
+    pattern. Run 1 processes everything except a held-back set of old
+    rows and commits watermark = max(ts) − 10 min to the checkpoint.
+    The held-back file then arrives and run 2 resumes from the
+    checkpoint: its rows are weeks older than the restored watermark
+    and are dropped before reaching window state (verified via
+    numRowsDroppedByWatermark). Append mode emits only closed
+    windows, so the oracle is: hourly counts over the *kept* rows,
+    restricted to windows whose end ≤ final watermark — equality
+    proves both the drop rule and the append emission rule.
+
+    (Measured on this Spark build: watermark gating applies from the
+    checkpointed value at run start; within a single availableNow run
+    the initial watermark governs input filtering, which is why the
+    demonstration needs two runs.)"""
+    from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
+    from hadoop_deliver_spark.tables import prepare_session
+
+    prepare_session(spark)
+    staged = _two_batch_staging(spark, sf_dir)
+    n = next(_counter)
+    src = _stage_dir(sf_dir, f"late_src_{n}")
+    cp = _stage_dir(sf_dir, f"late_cp_{n}")
+    out = _stage_dir(sf_dir, f"late_out_{n}")
+    for d in (src, cp, out):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .load(src)
+        )
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copy(os.path.join(staged, "a_main.parquet"),
+                os.path.join(src, "a_main.parquet"))
+    run_once()
+    shutil.copy(os.path.join(staged, "b_late.parquet"),
+                os.path.join(src, "b_late.parquet"))
+    run_once()
+    return spark.read.parquet(out).orderBy("window_start")
+
+
+@register("stream_output_modes", None)  # rows-only: emission timing comparison
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append vs update vs complete on the same windowed aggregate:
+    returns (mode, rows_emitted) so the relative emission behavior is
+    visible. Complete re-emits every window each trigger; update emits
+    changed windows; append only watermark-closed ones."""
+    import pandas as pd
+
+    rows = []
+    for mode in ["append", "update", "complete"]:
+        ev = _events_stream(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = _run_to_memory(agg, spark, sf_dir, mode)
+        rows.append((mode, out.count()))
+    return spark.createDataFrame(rows, "mode string, rows_emitted long")
