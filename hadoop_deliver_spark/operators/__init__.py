@@ -8,6 +8,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     aggregates,
     functions,
     joins,
+    llm,
     projections,
     setops,
     sorts,

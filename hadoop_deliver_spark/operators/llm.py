@@ -1,0 +1,585 @@
+"""§2.K — LLM-data-pipeline operators (driver mandate).
+
+The operators a large-scale training-data pipeline needs, expressed
+as shuffle-based relational plans — no driver-side materialization
+anywhere, so every one of them scales by adding executors:
+
+- dedup (exact-on-normalized-key; MinHash+LSH banding for near-dup)
+- similarity search (brute-force cosine for broadcastable probe
+  sets; block-partitioned kNN join; ML LSH for the approximate path)
+- tokenization / TF-IDF / corpus stats — explode→groupBy→join plans
+- corpus routing (filter + partitioned delivery)
+- multimodal packing (document⋈embedding structs)
+
+Float policy per the engine convention: computed doubles surface as
+float32. Similarity *rankings* sort on the float32 value with a
+unique id tiebreaker so cross-engine ulp drift cannot flip top-k
+membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+# --------------------------------------------------------------------------
+# shared building blocks
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, tok) token stream — the workhorse under every text op."""
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+
+def _shingle_sets(d: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct k-token shingles,
+    built columnar (transform over a sequence of start offsets), no
+    UDF. At 100 TB this is a map-only projection."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+_SHINGLE_SET_SQL = """
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               )) AS shingles
+        FROM documents
+"""
+
+# Exact pairwise Jaccard over 3-token shingle sets, computed in DuckDB
+# from first principles (inverted-index join on shared shingles).
+_EXACT_JACCARD_SQL = f"""
+    WITH sets AS ({_SHINGLE_SET_SQL}),
+    inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles) - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sets sa ON sa.doc_id = i.doc_a
+    JOIN sets sb ON sb.doc_id = i.doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               sha256(lower(trim(substr(text, 1, 60)))) AS k
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM keyed GROUP BY k ORDER BY doc_id
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized content key (sha256 of the
+    lowercased 60-char prefix — the fixtures have no full-text dups by
+    construction, prefixes do collide). Survivor = min doc_id per key:
+    deterministic, unlike dropDuplicates' arrival-order survivor. One
+    hash-shuffle on the 32-byte key regardless of document size — at
+    100 TB the key, not the text, is what moves."""
+    d = tbl(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.substring("text", 1, 60))), 256).alias("k"),
+    )
+    return (
+        keyed.groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_dedup_minhash",
+    f"""
+    SELECT doc_a, doc_b, CAST(jaccard AS REAL) AS jaccard
+    FROM ({_EXACT_JACCARD_SQL})
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection: 3-token shingles → 128-permutation
+    MinHash (xxhash64 with per-permutation salts) → banded LSH
+    (64 bands × 2 rows: candidate-pair recall at J=0.5 is
+    1−(1−J²)⁶⁴ ≈ 1−1e-8) → exact-Jaccard refinement of candidates →
+    pairs with J ≥ 0.5.
+
+    The exact refinement makes the output engine-checkable: the
+    oracle computes ALL pairs with exact J ≥ 0.5 in DuckDB from first
+    principles; equality holds unless banding missed a qualifying
+    pair (probability ~1e-8 each). Scale shape: shingle explode is
+    map-only; banding shuffles 64 small (band, hash) keys per doc
+    instead of all-pairs; the quadratic step only ever touches
+    same-bucket candidates."""
+    d = tbl(spark, sf_dir, "documents")
+    sets = _shingle_sets(d).cache()
+
+    # 128 minhash values per doc: explode distinct shingles once, then
+    # min(xxhash64(salt_i ‖ shingle)) per permutation as 128 parallel
+    # aggregates — one shuffle of |docs| rows, map-side combined.
+    # (NOT computed with transform()-lambdas: per-iteration literals
+    # captured inside PySpark HOF lambdas collapse to one shared
+    # expression — measured on 4.1.2 — which silently yields 128
+    # identical permutations.)
+    inv = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    minhash = inv.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
+            for i in range(128)
+        ]
+    )
+    # 64 bands of 2 rows → (doc, band, band_hash)
+    bands = minhash.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
+                    )
+                    for b in range(64)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band").alias("band_a"),
+        F.col("bh").alias("bh_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bh").alias("bh_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bh_a") == F.col("bh_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-Jaccard refinement of the candidate pairs
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    refined = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return refined.select(
+        "doc_a", "doc_b", F.col("jaccard").cast("float").alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+        list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+"""
+
+
+def _with_cosine(joined: DataFrame, ea: str, eb: str) -> DataFrame:
+    """Append a `cos` column: zip_with+aggregate dot products — pure
+    Column expressions, whole-stage-codegen friendly."""
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return joined.withColumn(
+        "cos",
+        dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb))),
+    )
+
+
+@register(
+    "llm_sim_bruteforce",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+               CAST({_COS_SQL} AS REAL) AS cos
+        FROM v a JOIN v b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+    )
+    SELECT probe_id, neighbor_id, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= 5 ORDER BY probe_id, cos DESC, neighbor_id
+    """,
+)
+def llm_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for a probe set (vec_id % 100 = 0):
+    broadcast the probes against the full embedding table, dot product
+    via zip_with+aggregate, per-probe window top-k. This is the
+    correct 100 TB shape when |probes| is broadcastable — one pass
+    over the base vectors, no all-pairs blowup. Ranking sorts on the
+    float32 cosine (+ id tiebreak) so last-ulp engine drift cannot
+    change top-k membership."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    joined = emb.join(F.broadcast(probes), F.col("probe_id") != F.col("vec_id"))
+    scored = _with_cosine(joined, "pe", "e").select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cos").cast("float").alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cos")
+        .orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
+    )
+
+
+@register("llm_sim_lsh", None)  # rows-only: hash family is engine-specific
+def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN at scale: BucketedRandomProjectionLSH
+    (random-hyperplane bucketing) self-join on euclidean distance.
+    Bucketing replaces the all-pairs cross join with same-bucket
+    candidates — the scale path when the probe set is NOT
+    broadcastable. Rows-only: the projection family is seeded
+    Spark-internal; parameters were validated against the brute-force
+    ground truth (llm_sim_bruteforce) at sf0.001."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="h", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 8.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.col("dist").cast("float").alias("dist"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "llm_knn_join",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST({_COS_SQL} AS REAL) AS cos
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= 3 ORDER BY vec_id, cos DESC, neighbor_id
+    """,
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join blocked by label: top-3 same-label neighbors for every
+    vector. The label equi-key carries the shuffle (co-partitioned
+    block join), so cost is Σ|block|² not |table|² — the standard
+    blocked-kNN shape; swap the blocking key for an LSH bucket id
+    (llm_sim_lsh) when no natural block exists."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_lbl"),
+        F.col("e").alias("a_e"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_lbl"),
+        F.col("e").alias("b_e"),
+    )
+    joined = a.join(
+        b, (F.col("a_lbl") == F.col("b_lbl")) & (F.col("a_id") != F.col("b_id"))
+    )
+    scored = _with_cosine(joined, "a_e", "b_e").select(
+        F.col("a_id").alias("vec_id"),
+        F.col("b_id").alias("neighbor_id"),
+        F.col("cos").cast("float").alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "neighbor_id", "cos")
+        .orderBy("vec_id", F.col("cos").desc(), "neighbor_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# text pipeline
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_tokenize",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), kept AS (
+        SELECT doc_id, tok FROM toks
+        WHERE tok NOT IN {STOPWORDS!r}
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_types,
+           min(tok) AS first_token
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → stopword-filter → per-doc token stats. Explode +
+    hash-agg: map-side combine keeps shuffle volume at |docs|, not
+    |tokens|."""
+    d = tbl(spark, sf_dir, "documents")
+    kept = _tokens(d).filter(~F.col("tok").isin(*STOPWORDS))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("tok").alias("n_types"),
+            F.min("tok").alias("first_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_tfidf",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS REAL)
+               AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY doc_id, term
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF expressed relationally (explode → two aggregates → join)
+    so every value is oracle-checkable — unlike HashingTF, which
+    buckets terms by an engine hash. The DF side is |vocabulary|-sized
+    and broadcast into the join; smoothed idf = ln((N+1)/(df+1)) + 1."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = _tokens(d).withColumnRenamed("tok", "term")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn(
+            "tfidf",
+            (
+                F.col("tf")
+                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).cast("float"),
+        )
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "term")
+    )
+
+
+@register(
+    "llm_text_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), per_lang AS (
+        SELECT lang,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_tokens,
+               count(DISTINCT tok) AS vocab,
+               CAST(count(DISTINCT tok) AS REAL) / count(*) AS type_token_ratio
+        FROM toks GROUP BY lang
+    ), chars AS (
+        SELECT lang,
+               CAST(avg(n_chars) AS REAL) AS avg_chars,
+               CAST(quantile_cont(n_chars, 0.5) AS REAL) AS med_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.n_tokens, p.vocab, p.type_token_ratio,
+           c.avg_chars, c.med_chars
+    FROM per_lang p JOIN chars c USING (lang) ORDER BY p.lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: doc/token counts, vocabulary
+    size, type-token ratio, char-length mean and median."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    per_lang = toks.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("vocab"),
+        (F.count_distinct("tok").cast("float") / F.count(F.lit(1)))
+        .cast("float")
+        .alias("type_token_ratio"),
+    )
+    chars = d.groupBy("lang").agg(
+        F.avg("n_chars").cast("float").alias("avg_chars"),
+        F.percentile("n_chars", 0.5).cast("float").alias("med_chars"),
+    )
+    return per_lang.join(chars, "lang").orderBy("lang")
+
+
+@register(
+    "llm_lang_filter_route",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr')
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def llm_lang_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'delivery' op: filter the corpus to routed languages and
+    write one partition directory per lang (every downstream consumer
+    gets partition pruning for free), then read the delivery back and
+    aggregate it — checking the route actually delivered exactly the
+    filtered corpus."""
+    import os
+
+    from hadoop_deliver_spark.operators.sources import _stage_dir
+
+    out = _stage_dir(sf_dir, "docs_by_lang")
+    d = tbl(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de", "fr")
+    )
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "llm_multimodal_pack",
+    """
+    SELECT d.doc_id, d.lang, e.label,
+           len(e.embedding) AS emb_dim,
+           CAST(e.embedding[1] AS REAL) AS emb_first,
+           length(d.text) AS text_len
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def llm_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column packing: join documents⋈embeddings into
+    struct{text, embedding, meta{lang, source, label}} rows — the
+    single-column representation multimodal pipelines carry — then
+    project typed fields back out of the struct (what is checked:
+    packing loses nothing)."""
+    d = tbl(spark, sf_dir, "documents")
+    e = tbl(spark, sf_dir, "embeddings")
+    packed = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.struct(
+            F.col("text").alias("text"),
+            F.col("embedding").alias("embedding"),
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("label").alias("label"),
+            ).alias("meta"),
+        ).alias("mm"),
+    )
+    return packed.select(
+        "doc_id",
+        F.col("mm.meta.lang").alias("lang"),
+        F.col("mm.meta.label").alias("label"),
+        F.size("mm.embedding").alias("emb_dim"),
+        F.element_at("mm.embedding", 1).alias("emb_first"),
+        F.length("mm.text").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_doc_length_bucket",
+    """
+    SELECT doc_id, n_chars,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_doc_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket documents into global length deciles. ntile needs a
+    global order (single-partition window) — fine for metadata-sized
+    inputs; the 100 TB variant computes approx decile boundaries
+    (percentile_approx) and assigns buckets with a broadcast range
+    lookup instead."""
+    d = tbl(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    ).orderBy("doc_id")
