@@ -1,0 +1,449 @@
+"""§2.K extensions — text analysis + further dedup families +
+multimodal plumbing for a training-data pipeline.
+
+Dedup families beyond exact/MinHash (operators.llm): SimHash,
+character-n-gram Jaccard, and embedding-cosine near-dup — each the
+right tool at a different point of the scale/precision trade-off:
+
+- ngram-Jaccard: exact, inverted-index join — O(pairs sharing a gram)
+- SimHash: one 64-bit fingerprint per doc, near-dup = small Hamming
+  distance; candidates found by exact-match on rotated fingerprint
+  bands (the classic Manku/Jain/Sarma web-dedup shape)
+- embedding-cosine: semantic near-dup, exact all-pairs here,
+  LSH-bucketed at scale (llm_sim_lsh)
+
+Text analysis: language-ID (marker n-gram heuristic), quality
+scoring, whitespace + BPE-ish regex token counting, rolling-hash
+fingerprinting. Every op is a Column-expression plan (no hot-path
+Python); the multimodal decode is the one mapInPandas, with the real
+decoder stubbed (no image/audio libs in this container) behind
+deterministic byte-level features so the Spark plumbing — binary
+column, schema, Arrow batching — is real and tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+# marker tokens per language for the n-gram heuristic router
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+}
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, length(text) - 3),
+                   i -> substr(text, i, 5)
+               )) AS gs
+        FROM documents
+    ),
+    inv AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(CAST(i.n_inter AS DOUBLE)
+                / (len(ga.gs) + len(gb.gs) - i.n_inter) AS REAL) AS jaccard
+    FROM inter i
+    JOIN grams ga ON ga.doc_id = i.doc_a
+    JOIN grams gb ON gb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (len(ga.gs) + len(gb.gs) - i.n_inter)
+          >= 0.55
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard near-dup pairs (J ≥ 0.55) via an
+    inverted-index join: explode distinct grams, join docs sharing a
+    gram, count intersections, |A∪B| from set sizes. The join fans out
+    per shared gram — at 100 TB, cap gram document-frequency (drop
+    grams appearing in >X% of docs) to bound the skew; fixture corpus
+    needs no cap."""
+    d = tbl(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 4),
+                lambda i: F.col("text").substr(i, F.lit(5)),
+            )
+        ).alias("gs"),
+    ).cache()
+    inv = grams.select("doc_id", F.explode("gs").alias("g"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, ["g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.size("gs").alias("na"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.size("gs").alias("nb"))
+    return (
+        inter.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= 0.55)
+        .select("doc_a", "doc_b", F.col("jaccard").cast("float").alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("llm_dedup_simhash", None)  # rows-only: xxhash64 bit pattern is engine-specific
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint per document (sign of the
+    per-bit sum of token hashes), candidate pairs = equal 16-bit
+    fingerprint band (Hamming-distance blocking), refined by real
+    Hamming distance ≤ 8. One fingerprint per doc makes this the
+    cheapest near-dup family at 100 TB — a 600-byte document becomes
+    8 bytes of state. Rows-only: the fingerprint bit pattern derives
+    from Spark's xxhash64 and has no cross-engine twin; the decision
+    quality is cross-checked by llm_dedup_ngram_jaccard over the same
+    corpus."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    # per-bit vote: +1 if bit set, −1 otherwise; fingerprint bit = vote>0
+    def bit(i):
+        # 1<<63 overflows a JVM long literal; shiftleft computes it
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("th").bitwiseAND(bit(i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, bit(i)).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).cast("long").alias("fp"),
+    )
+    # band blocking: 4 bands of 16 bits; candidates share any band
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fp", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band",
+        F.col("bv").alias("bv_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"),
+        F.col("band").alias("band_b"), F.col("bv").alias("bv_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bv_a") == F.col("bv_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "llm_dedup_embedding",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))) AS REAL) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+    ORDER BY vec_a, vec_b
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates: all pairs with cos ≥ 0.9.
+    Exact all-pairs is the fixture-scale baseline (the threshold
+    predicate prunes output, not compute); the 100 TB path buckets
+    with llm_sim_lsh first and refines exactly — same refine
+    expression as here."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb"))),
+        )
+        .filter(F.col("cos") >= 0.9)
+        .select("vec_a", "vec_b", F.col("cos").cast("float").alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "llm_lang_id",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> x IN {LANG_MARKERS["en"]!r})) AS s_en,
+               len(list_filter(t, x -> x IN {LANG_MARKERS["de"]!r})) AS s_de,
+               len(list_filter(t, x -> x IN {LANG_MARKERS["es"]!r})) AS s_es,
+               len(list_filter(t, x -> x IN {LANG_MARKERS["fr"]!r})) AS s_fr
+        FROM toks
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0
+               THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+             WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+             WHEN s_fr > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS guessed_lang
+    FROM scored ORDER BY doc_id
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-token scoring (the n-gram
+    heuristic family: count language-characteristic tokens, argmax
+    with a fixed preference order for ties). The fixture corpus is
+    synthetic word salad, so `guessed_lang` is a function of markers,
+    not expected to equal `actual_lang` — what the oracle checks is
+    that the scoring pipeline is deterministic and correct."""
+    d = tbl(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    # four explicit filter expressions — NOT built in a loop: captured
+    # per-iteration literals inside HOF lambdas collapse to a shared
+    # expression on this Spark build (see memory/llm.py minhash note)
+    s_en = F.size(F.filter(t, lambda x: x.isin("the", "and", "of")))
+    s_de = F.size(F.filter(t, lambda x: x.isin("der", "und", "die")))
+    s_es = F.size(F.filter(t, lambda x: x.isin("el", "los", "que")))
+    s_fr = F.size(F.filter(t, lambda x: x.isin("le", "les", "des")))
+    guessed = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en >= s_fr) & (s_en > 0), "en")
+        .when((s_de >= s_es) & (s_de >= s_fr) & (s_de > 0), "de")
+        .when((s_es >= s_fr) & (s_es > 0), "es")
+        .when(s_fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        guessed.alias("guessed_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_quality_score",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS DOUBLE) / n_tokens >= 3.0
+               AND n_tokens BETWEEN 10 AND 1000
+               AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 AS passes,
+           CAST(CAST(n_stop AS DOUBLE) / n_tokens AS REAL) AS stop_ratio,
+           CAST(CAST(n_chars AS DOUBLE) / n_tokens AS REAL) AS avg_token_len
+    FROM t ORDER BY doc_id
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality gate (Gopher/C4-style heuristics scaled to the
+    fixture corpus): mean token length, token-count bounds, stopword
+    ratio — emitted as a boolean `passes` plus its component ratios so
+    the filter is auditable."""
+    from hadoop_deliver_spark.operators.llm import STOPWORDS
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    avg_len = F.col("n_chars").cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        (
+            (avg_len >= 3.0)
+            & n_tokens.between(10, 1000)
+            & (stop_ratio >= 0.01)
+        ).alias("passes"),
+        stop_ratio.cast("float").alias("stop_ratio"),
+        avg_len.cast("float").alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                           x -> x <> '')) AS word_tokens,
+           length(text) - length(replace(text, 'e', '')) AS e_count,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word
+    tokenizer (the BPE-ish pre-tokenization split), and the chars/4
+    rule-of-thumb BPE estimate — the budget arithmetic every corpus
+    pipeline runs before training."""
+    d = tbl(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split("text", "[^a-zA-Z0-9]+"), lambda x: x != F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(words).cast("long").alias("word_tokens"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "e", ""))
+        ).cast("long").alias("e_count"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+               range(1, len(toks) + 1),
+               i -> ((length(toks[i]) * 31 + unicode(toks[i])) * i)
+                    % 2147483647
+           )) % 2147483647 AS BIGINT) AS fingerprint,
+           len(toks) AS n_tokens
+    FROM t ORDER BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a position-weighted rolling hash of
+    token codes (code = 31·len + first-codepoint, weighted by 1-based
+    position, mod 2³¹−1) — order-sensitive unlike a bag-of-words hash,
+    SQL-expressible in both engines. A production pipeline swaps the
+    token code for xxhash64 (llm_dedup_simhash exercises that)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    M = 2147483647
+    codes = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda tok, i: ((F.length(tok) * 31 + F.ascii(tok)) * i) % M,
+    )
+    return d.select(
+        "doc_id",
+        (
+            F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: acc + x) % M
+        ).cast("long").alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_multimodal_decode",
+    """
+    SELECT doc_id,
+           octet_length(encode(substr(text, 1, 32))) AS payload_bytes,
+           unicode(substr(text, 1, 1)) AS first_byte,
+           'stub-v1' AS decoder
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: pack an opaque binary payload
+    column (here: utf-8 bytes of a text prefix standing in for
+    image/audio bytes), ship it through mapInPandas in Arrow batches,
+    and emit per-payload features. The real decoder is STUBBED —
+    image/audio libraries are not in this container — behind
+    deterministic byte-level features; the schema, binary transport,
+    batching, and UDF signature are the real production shape."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            try:
+                import PIL  # noqa: F401 — the real decoder's import gate
+
+                raise NotImplementedError(
+                    "real image decode not wired: container has no codecs"
+                )
+            except ImportError:
+                # deterministic stub features from the raw bytes
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload_bytes": payloads.map(len),
+                        "first_byte": payloads.map(lambda b: b[0]),
+                        "decoder": "stub-v1",
+                    }
+                )
+
+    d = tbl(spark, sf_dir, "documents")
+    packed = d.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
+    )
+    return packed.mapInPandas(
+        decode,
+        "doc_id bigint, payload_bytes int, first_byte int, decoder string",
+    ).orderBy("doc_id")
