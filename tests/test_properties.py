@@ -1,0 +1,108 @@
+"""Ring-3 property/differential checks (SURVEY §5.3): cheap
+invariants that catch API-translation and plan-shape bugs the
+oracle-parity ring can miss."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.tables import tbl
+
+
+def test_dataframe_vs_sql_flagship(spark, sf_dir):
+    """The DataFrame form of the flagship must equal its spark.sql
+    twin exactly — catches DataFrame↔SQL translation drift."""
+    from hadoop_deliver_spark.operators.aggregates import flagship
+
+    df_form = flagship(spark, sf_dir)
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("prop_li")
+    sql_form = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS FLOAT) AS sum_qty,
+               CAST(sum(l_extendedprice) AS FLOAT) AS sum_base_price,
+               CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT)
+                   AS sum_disc_price,
+               CAST(avg(l_quantity) AS FLOAT) AS avg_qty,
+               count(*) AS count_order
+        FROM prop_li
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    assert df_form.collect() == sql_form.collect()
+
+
+def test_filter_partition(spark, sf_dir):
+    """count(p) + count(NOT p) == count(*) for a non-null predicate."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = F.col("l_quantity") > 25
+    n = li.count()
+    assert li.filter(p).count() + li.filter(~p).count() == n
+
+
+def test_join_cardinality_bounds(spark, sf_dir):
+    """FK inner join orders⋈lineitem preserves lineitem cardinality
+    (every l_orderkey resolves); semi ≤ distinct keys; anti is the
+    complement."""
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    assert li.join(o, li.l_orderkey == o.o_orderkey).count() == li.count()
+    c = tbl(spark, sf_dir, "customer")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_topk_is_subset_of_sorted(spark, sf_dir):
+    """Global top-k rows must be exactly the first k of the full
+    sort with the same tiebreak."""
+    li = tbl(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"]
+    topk = li.orderBy(*order).limit(50).collect()
+    full = li.orderBy(*order).collect()[:50]
+    assert topk == full
+
+
+def test_union_except_roundtrip(spark, sf_dir):
+    """(A ∪all B) exceptAll B == A as multisets."""
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a = c.filter(F.col("c_nationkey") < 10)
+    b = c.filter(F.col("c_nationkey") >= 5)
+    back = a.unionAll(b).exceptAll(b)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, a.collect()))
+
+
+def test_rollup_grand_total_consistency(spark, sf_dir):
+    """The rollup grand-total row equals the global aggregate."""
+    li = tbl(spark, sf_dir, "lineitem")
+    rolled = (
+        li.rollup("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("l_returnflag").isNull())
+        .collect()
+    )
+    direct = li.agg(F.sum("l_quantity").alias("s")).collect()
+    assert abs(rolled[0].s - direct[0].s) < 1e-6
+
+
+def test_streaming_source_equals_batch(spark, sf_dir):
+    """File-source availableNow replay equals the batch aggregate on
+    the same rows — the §2.I equivalence anchor, checked Spark-vs-
+    Spark (independent of DuckDB)."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    streamed = R["source_stream_files"].fn(spark, sf_dir).collect()
+    ev = tbl(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("float").alias("total_value"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    assert streamed == batch
