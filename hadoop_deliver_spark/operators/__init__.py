@@ -9,6 +9,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     functions,
     joins,
     llm,
+    llm_ivf,
     llm_text,
     projections,
     setops,

@@ -106,3 +106,18 @@ def test_streaming_source_equals_batch(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """IVF (nprobe=2) must keep recall@3 ≥ 0.7 against the exact
+    brute-force ranking — guards quantizer/probe regressions."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    bf = R["llm_sim_bruteforce"].fn(spark, sf_dir).toPandas()
+    ivf = R["llm_sim_ivf"].fn(spark, sf_dir).toPandas()
+    truth = set(
+        zip(*(lambda g: (g.probe_id, g.neighbor_id))(bf.groupby("probe_id").head(3)))
+    )
+    got = set(zip(ivf.probe_id, ivf.neighbor_id))
+    assert len(truth & got) / len(truth) >= 0.7
