@@ -631,3 +631,29 @@ def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mb"),
         F.schema_of_json(F.lit('{"k": 1}')).alias("json_schema"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing
+    FROM events ORDER BY event_id
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: parse the semi-structured props column
+    once into a variant (binary, shredded, no per-access re-parse —
+    the open-JSON column type for schema-on-read at scale), then
+    extract typed paths; a missing path under try_variant_get is
+    NULL, mirroring SQL NULL semantics."""
+    ev = tbl(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
+    ).orderBy("event_id")
