@@ -220,19 +220,25 @@ _COS_SQL = """
 """
 
 
-def _with_cosine(joined: DataFrame, ea: str, eb: str) -> DataFrame:
-    """Append a `cos` column: zip_with+aggregate dot products — pure
-    Column expressions, whole-stage-codegen friendly."""
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-        )
-
-    return joined.withColumn(
-        "cos",
-        dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb))),
+def _dot(x, y):
+    """Vector dot product as a pure Column expression."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
     )
+
+
+def _norm(e):
+    """L2 norm — compute once per VECTOR before any pair join: HOF
+    expressions don't fully codegen, so re-deriving self-dot-products
+    per pair triples the dominant cost (measured 3× on the all-pairs
+    embedding dedup)."""
+    return F.sqrt(_dot(e, e))
+
+
+def _with_cosine(joined: DataFrame, ea: str, eb: str, na: str, nb: str) -> DataFrame:
+    """Append a `cos` column from pre-joined vectors + their
+    precomputed norms."""
+    return joined.withColumn("cos", _dot(ea, eb) / (F.col(na) * F.col(nb)))
 
 
 @register(
@@ -261,12 +267,14 @@ def llm_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     change top-k membership."""
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    ).withColumn("nrm", _norm("e"))
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
     )
     joined = emb.join(F.broadcast(probes), F.col("probe_id") != F.col("vec_id"))
-    scored = _with_cosine(joined, "pe", "e").select(
+    scored = _with_cosine(joined, "pe", "e", "pnrm", "nrm").select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("cos").cast("float").alias("cos"),
@@ -337,19 +345,19 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
+    ).withColumn("nrm", _norm("e"))
     a = emb.select(
         F.col("vec_id").alias("a_id"), F.col("label").alias("a_lbl"),
-        F.col("e").alias("a_e"),
+        F.col("e").alias("a_e"), F.col("nrm").alias("a_nrm"),
     )
     b = emb.select(
         F.col("vec_id").alias("b_id"), F.col("label").alias("b_lbl"),
-        F.col("e").alias("b_e"),
+        F.col("e").alias("b_e"), F.col("nrm").alias("b_nrm"),
     )
     joined = a.join(
         b, (F.col("a_lbl") == F.col("b_lbl")) & (F.col("a_id") != F.col("b_id"))
     )
-    scored = _with_cosine(joined, "a_e", "b_e").select(
+    scored = _with_cosine(joined, "a_e", "b_e", "a_nrm", "b_nrm").select(
         F.col("a_id").alias("vec_id"),
         F.col("b_id").alias("neighbor_id"),
         F.col("cos").cast("float").alias("cos"),

@@ -34,18 +34,16 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector("embedding").alias("v"), "embedding"
     )
+    from hadoop_deliver_spark.operators.llm import _dot as dot
+    from hadoop_deliver_spark.operators.llm import _norm
+
     km = KMeans(k=8, seed=42, featuresCol="v", predictionCol="cell")
     model = km.fit(emb)
     assigned = model.transform(emb).select(
         "vec_id",
         "cell",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, b: a + b
-        )
+    ).withColumn("nrm", _norm("e"))
 
     # nprobe=2: each probe searches its 2 nearest centroid cells.
     # Measured recall@3 vs brute force at sf0.001: 0.60 @ nprobe=1,
@@ -55,7 +53,9 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell int, ce array<double>",
     )
     probe_vecs = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
     )
     d2 = F.aggregate(
         F.zip_with("pe", "ce", lambda p, c: (p - c) * (p - c)),
@@ -68,7 +68,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cdist", d2)
         .withColumn("crn", F.row_number().over(wc))
         .filter(F.col("crn") <= 2)
-        .select("probe_id", "pe", "cell")
+        .select("probe_id", "pe", "pnrm", "cell")
     )
     scored = (
         assigned.withColumnRenamed("cell", "a_cell")
@@ -77,9 +77,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell") == F.col("a_cell"))
             & (F.col("probe_id") != F.col("vec_id")),
         )
-        .withColumn(
-            "cos", dot("pe", "e") / (F.sqrt(dot("pe", "pe")) * F.sqrt(dot("e", "e")))
-        )
+        .withColumn("cos", dot("pe", "e") / (F.col("pnrm") * F.col("nrm")))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),

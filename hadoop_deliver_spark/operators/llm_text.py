@@ -281,23 +281,22 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate prunes output, not compute); the 100 TB path buckets
     with llm_sim_lsh first and refines exactly — same refine
     expression as here."""
+    from hadoop_deliver_spark.operators.llm import _dot, _norm
+
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).withColumn("nrm", _norm("e"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-        )
-
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos",
-            dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb"))),
-        )
+        .withColumn("cos", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= 0.9)
         .select("vec_a", "vec_b", F.col("cos").cast("float").alias("cos"))
         .orderBy("vec_a", "vec_b")
