@@ -331,3 +331,48 @@ def sink_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "scan_partition_pruned",
+    """
+    SELECT o.o_orderpriority, count(*) AS n,
+           CAST(sum(o.o_totalprice) AS REAL) AS total
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderstatus FROM orders
+          WHERE o_orderstatus IN ('F', 'P')) s
+      ON s.o_orderstatus = o.o_orderstatus
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the
+    status-partitioned parquet layout (from sink_parquet_partitioned)
+    joined to a filtered dimension-like subquery on the partition
+    column. Catalyst injects a runtime subquery filter
+    (`dynamicpruning` in the plan) so only the F and P partition
+    directories are read — at 100 TB this is the difference between
+    scanning 2 of 3 status partitions and scanning the table. The
+    static-pruning case (a literal partition predicate in PushedFilters)
+    falls out of the same layout for free."""
+    out = _stage_dir(sf_dir, "orders_by_status")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tbl(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        fact.select("o_orderstatus")
+        .filter(F.col("o_orderstatus").isin("F", "P"))
+        .distinct()
+        .withColumnRenamed("o_orderstatus", "s_status")
+    )
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.s_status)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").cast("float").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
