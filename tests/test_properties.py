@@ -121,3 +121,34 @@ def test_ivf_recall_floor(spark, sf_dir):
     )
     got = set(zip(ivf.probe_id, ivf.neighbor_id))
     assert len(truth & got) / len(truth) >= 0.7
+
+
+def test_plan_shapes(spark, sf_dir):
+    """Plan-shape guards: no accidental cartesian products in any
+    equi-join query; filters reach the parquet scan; global top-k
+    stays a bounded heap (TakeOrderedAndProject)."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+
+    def plan_of(name):
+        return (
+            R[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+
+    for name in [
+        "join_inner_equi", "join_broadcast", "join_left_outer",
+        "join_left_semi", "join_left_anti", "join_self", "join_interval",
+        "llm_knn_join", "llm_dedup_minhash",
+    ]:
+        assert "CartesianProduct" not in plan_of(name), name
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan_of("agg_groupby_basic")
+    assert "TakeOrderedAndProject" in plan_of("topk_global")
+    assert "dynamicpruning" in plan_of("scan_partition_pruned").lower()
