@@ -435,3 +435,102 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey
         """
     )
+
+
+@register(
+    "join_time_bucket_range",
+    """
+    SELECT date_trunc('day', CAST(a.ts AS TIMESTAMP)) AS day,
+           count(*) AS n_pairs,
+           CAST(avg(b.value - a.value) AS REAL) AS avg_value_delta
+    FROM events a
+    JOIN events b
+      ON b.event_id <> a.event_id
+     AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_time_bucket_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO natural equi key (any two events within 5
+    minutes, across all users) via the coarse-bucket prefilter
+    (SURVEY §4.3): bucket ts into 5-minute cells, note that a match's
+    bucket can only be the probe's own or the next one, explode those
+    two candidates into an equi key, and refine with the exact range
+    predicate inside the hash join. The planner gets an equi-join
+    where the naive formulation is a nested-loop over all pairs —
+    the transform that keeps no-key band joins off the O(n²) path at
+    100 TB."""
+    ev = tbl(spark, sf_dir, "events").select("event_id", "ts", "value")
+    bucket = (F.col("ts").cast("long") / 300).cast("long")
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("value").alias("a_value"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+        bucket.alias("bk"),
+    )
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("b_id") != F.col("a_id"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTE"))
+        )
+        # a row can meet its match in both candidate buckets only if
+        # they coincide — the explode duplicates probes, so dedup the
+        # pair before aggregating
+        .select("a_id", "b_id", "a_ts", "a_value", "b_value")
+        .distinct()
+        .groupBy(F.date_trunc("day", "a_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg(F.col("b_value") - F.col("a_value"))
+            .cast("float")
+            .alias("avg_value_delta"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_salted_two_phase",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(value) AS REAL) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting recipe, end to end: events.user_id is
+    low-cardinality by construction (a hot-key aggregation), so phase
+    1 salts each key into 16 sub-keys (deterministic hash of
+    event_id) and aggregates (user_id, salt) partials; phase 2
+    re-aggregates per user_id. The first shuffle spreads each hot key
+    over 16 reducers; the second moves only |keys|×16 partial rows.
+    Oracle = the direct single-phase group-by: the rewrite must be
+    answer-identical. (Spark's partial aggregation makes this
+    redundant for built-in aggs — the pattern matters for
+    non-combinable custom aggregates and extreme skew.)"""
+    ev = tbl(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("float").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
