@@ -521,3 +521,95 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id bigint, payload_bytes int, first_byte int, decoder string",
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b, jaccard FROM (
+                WITH sets AS (
+                    SELECT doc_id,
+                           list_distinct(list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> array_to_string(list_slice(
+                                   string_split(text, ' '), i, i + 2), ' ')
+                           )) AS shingles
+                    FROM documents
+                ),
+                inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+                inter AS (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS n_inter
+                    FROM inv a JOIN inv b
+                      ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                )
+                SELECT i.doc_a, i.doc_b,
+                       CAST(i.n_inter AS DOUBLE)
+                           / (len(sa.shingles) + len(sb.shingles) - i.n_inter)
+                           AS jaccard
+                FROM inter i
+                JOIN sets sa ON sa.doc_id = i.doc_a
+                JOIN sets sb ON sb.doc_id = i.doc_b
+            ) WHERE jaccard >= 0.5
+        )
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+    )
+    SELECT doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    pair graph (the step that turns pairwise matches into one
+    keep/purge decision per group). Iterative min-label propagation:
+    each round every node adopts the minimum label among itself and
+    its neighbors; the total label sum is strictly decreasing until
+    fixpoint, so the driver loop is bounded by the graph diameter
+    (small for dup clusters; capped at 20). This is the standard
+    large-graph CC shape on Spark — each iteration is one shuffle —
+    and the oracle recomputes components independently with a
+    recursive CTE over the exact-Jaccard pair graph."""
+    from hadoop_deliver_spark.operators.llm import llm_dedup_minhash
+
+    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.cache()
+        old_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
