@@ -589,6 +589,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    prev_sum = None
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -603,13 +604,16 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label", F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
+            .cache()
         )
-        new_labels = new_labels.cache()
-        old_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # one action per round: the label sum is monotone decreasing,
+        # so an unchanged sum IS the fixpoint
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
         labels = new_labels
-        if old_sum == new_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
