@@ -1,0 +1,314 @@
+"""§2.L — Extended coverage batch: bitwise/bool functions and
+aggregates, arg-min/max, URL parsing, time-series gap-fill, delivery
+manifests, trigonometry.
+
+All seven queries are full-oracle (DuckDB hash parity). Two are
+delivery-genre capabilities the earlier sections lacked:
+
+- ``ts_resample_gapfill`` — resample an event stream onto a fixed
+  6-hour grid and fill gaps by last-observation-carried-forward, the
+  standard time-series densification step before ML feature windows.
+  Scale shape: one grid row per (event_type, bucket) — the grid is
+  tiny relative to the events, built from an aggregated bounds row +
+  ``sequence``/``explode``, so the only real shuffle is the bucketed
+  aggregation; the LOCF window partitions by event_type (bounded
+  cardinality, no skew).
+- ``delivery_manifest`` — per-delivery-partition record count, key
+  range, and an order-insensitive content checksum: the verification
+  manifest a getmerge-style delivery ships alongside the data. The
+  checksum is md5 over the *sorted* per-group key list, so it is
+  engine- and partitioning-independent. collect_list is bounded by
+  the delivery-partition size (one month here) — at 100 TB the
+  partition key is what the pipeline already delivers by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+_R = 4
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT event_id,
+           event_id & 255 AS band,
+           event_id | 4096 AS bor,
+           xor(event_id, user_id) AS bxor,
+           CAST(bit_count(event_id) AS BIGINT) AS bits,
+           event_id << 3 AS shl,
+           event_id >> 2 AS shr
+    FROM events ORDER BY event_id
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR, popcount, shifts — all JVM-side Column ops."""
+    e = tbl(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("band"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("bor"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("bxor"),
+        F.bit_count("event_id").cast("long").alias("bits"),
+        F.shiftleft("event_id", 3).alias("shl"),
+        F.shiftright("event_id", 2).alias("shr"),
+    ).orderBy("event_id")
+
+
+@register(
+    "agg_bitwise_bool",
+    """
+    SELECT event_type,
+           bit_and(user_id) AS ba,
+           bit_or(user_id) AS bo,
+           bit_xor(user_id) AS bx,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 90) AS any_large,
+           count(*) AS n_rows
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregate", "bitwise"),
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and/bit_or/bit_xor and bool_and/bool_or grouped aggregates."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("ba"),
+            F.bit_or("user_id").alias("bo"),
+            F.bit_xor("user_id").alias("bx"),
+            F.bool_and(F.col("value") > 0).alias("all_pos"),
+            F.bool_or(F.col("value") > 90).alias("any_large"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_arg_minmax",
+    """
+    SELECT event_type,
+           arg_max(user_id, event_id) AS latest_user,
+           arg_min(user_id, event_id) AS first_user,
+           max(event_id) AS max_eid,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregate",),
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) keyed on the *unique* event_id so
+    the result is deterministic across engines and partition orders."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", "event_id").alias("latest_user"),
+            F.min_by("user_id", "event_id").alias("first_user"),
+            F.max("event_id").alias("max_eid"),
+            F.round(F.max("value"), _R).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_url_parse",
+    """
+    SELECT c_custkey,
+           'deliver.example.com' AS host,
+           '/' || lower(c_mktsegment) || '/item' AS path,
+           'id=' || c_custkey || '&ref=home' AS query,
+           CAST(c_custkey AS VARCHAR) AS qid
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("function", "string"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url HOST/PATH/QUERY/QUERY:key extraction. The oracle
+    recomputes the expected components from first principles (DuckDB
+    1.0 has no parse_url)."""
+    c = tbl(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://deliver.example.com/"),
+        F.lower("c_mktsegment"),
+        F.lit("/item?id="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&ref=home"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "ts_resample_gapfill",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             make_timestamp(((epoch_us(ts) // 1000000 // 21600) * 21600)
+                            * 1000000) AS bucket,
+             value
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, bucket,
+             round(arg_max(value, event_id), 4) AS obs_v
+      FROM e GROUP BY event_type, bucket
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 6 HOUR)) AS bucket
+      ) g
+    )
+    SELECT grid.event_type, grid.bucket,
+           last_value(b.obs_v IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM grid LEFT JOIN b
+      ON b.event_type = grid.event_type AND b.bucket = grid.bucket
+    ORDER BY grid.event_type, grid.bucket
+    """,
+    tags=("timeseries",),
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events onto a global 6-hour grid per event_type and
+    gap-fill by last-observation-carried-forward (leading gaps stay
+    null). Bucket = floor(epoch seconds / 21600) — integer math, so
+    both engines land on identical bucket timestamps (session TZ is
+    pinned to UTC in prepare_session)."""
+    e = tbl(spark, sf_dir, "events").withColumn(
+        "bucket",
+        F.timestamp_seconds(F.expr("(unix_timestamp(ts) div 21600) * 21600")),
+    )
+    # The bucket value is the *latest* observation (max_by on the
+    # unique event_id), not an average: true LOCF semantics, and —
+    # unlike avg/sum — involves zero float arithmetic, so both engines
+    # round the very same parquet double (an engine-computed avg can
+    # straddle a .xxxx5 rounding edge by one ulp).
+    b = e.groupBy("event_type", "bucket").agg(
+        F.round(F.max_by("value", "event_id"), _R).alias("obs_v")
+    )
+    bounds = e.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 6 hours"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.last("obs_v", ignorenulls=True).over(w).alias("value_filled"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "delivery_manifest",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           count(*) AS n_rows,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key,
+           round(sum(l_quantity), 4) AS sum_qty,
+           md5(string_agg(l_orderkey || '#' || l_linenumber, ','
+                          ORDER BY l_orderkey || '#' || l_linenumber))
+             AS checksum
+    FROM lineitem GROUP BY ship_month ORDER BY ship_month
+    """,
+    tags=("delivery", "aggregate"),
+)
+def delivery_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-delivery-partition manifest: row count, key range, quantity
+    total, and an order-insensitive md5 checksum over the sorted
+    (orderkey#linenumber) key list — what a getmerge-style delivery
+    publishes so the receiver can verify completeness. Keys sort
+    lexicographically in both engines (binary collation)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    rk = F.concat_ws(
+        "#",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        li.withColumn("ship_month", F.date_trunc("month", "l_shipdate"))
+        .withColumn("rk", rk)
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("rk")))
+            ).alias("checksum"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "fn_trig",
+    """
+    SELECT p_partkey,
+           round(sin(p_retailprice / 1000), 4) AS s,
+           round(cos(p_retailprice / 1000), 4) AS c,
+           round(atan2(CAST(p_partkey AS DOUBLE), 7.0), 4) AS a2,
+           round(radians(CAST(p_partkey % 360 AS DOUBLE)), 4) AS rad,
+           round(degrees(1.0), 4) AS deg,
+           CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sg,
+           round(cbrt(CAST(p_partkey AS DOUBLE)), 4) AS cr
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("function", "math"),
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sin/cos/atan2/radians/degrees/sign/cbrt — rounded to 4 decimals
+    (libm last-ulp differences across engines)."""
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(F.col("p_retailprice") / 1000), _R).alias("s"),
+        F.round(F.cos(F.col("p_retailprice") / 1000), _R).alias("c"),
+        F.round(F.atan2(F.col("p_partkey").cast("double"), F.lit(7.0)), _R).alias(
+            "a2"
+        ),
+        F.round(F.radians((F.col("p_partkey") % 360).cast("double")), _R).alias(
+            "rad"
+        ),
+        F.round(F.degrees(F.lit(1.0)), _R).alias("deg"),
+        F.signum(F.col("p_retailprice") - 1000).alias("sg"),
+        F.round(F.cbrt(F.col("p_partkey").cast("double")), _R).alias("cr"),
+    ).orderBy("p_partkey")
