@@ -312,3 +312,43 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("p_retailprice") - 1000).alias("sg"),
         F.round(F.cbrt(F.col("p_partkey").cast("double")), _R).alias("cr"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "fn_string_extra",
+    """
+    SELECT c_custkey,
+           upper(substr(lower(c_mktsegment), 1, 1))
+             || substr(lower(c_mktsegment), 2) AS seg_title,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+           repeat(left(c_mktsegment, 2), 3) AS seg_rep,
+           reverse(c_name) AS name_rev,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           left(c_name, 8) AS name_l,
+           right(c_name, 4) AS name_r,
+           CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ascii,
+           chr(65 + CAST(c_nationkey % 26 AS INTEGER)) AS nat_chr,
+           split_part(c_name, '#', 2) AS name_id
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("function", "string"),
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """initcap/translate/repeat/reverse/instr/left/right/ascii/chr/
+    split_part. The initcap oracle is recomputed from first principles
+    (DuckDB 1.0 lacks initcap); segments are single words so the two
+    definitions coincide."""
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_rep"),
+        F.reverse("c_name").alias("name_rev"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.substring("c_name", 1, 8).alias("name_l"),
+        F.col("c_name").substr(F.length("c_name") - 3, F.lit(4)).alias("name_r"),
+        F.ascii("c_mktsegment").cast("long").alias("seg_ascii"),
+        F.chr(F.lit(65) + (F.col("c_nationkey") % 26)).alias("nat_chr"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_id"),
+    ).orderBy("c_custkey")

@@ -454,3 +454,96 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _run_to_memory(agg, spark, sf_dir, mode)
         rows.append((mode, out.count()))
     return spark.createDataFrame(rows, "mode string, rows_emitted long")
+
+
+@register(
+    "stream_upsert_merge",
+    """
+    SELECT user_id, event_id AS last_event_id,
+           round(value, 4) AS last_value,
+           event_type AS last_type, ts AS last_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("streaming", "delivery"),
+)
+def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert delivery (CDC last-write-wins): the events
+    backlog replays as 4 micro-batches (maxFilesPerTrigger=1 over a
+    4-file staging), and each batch MERGEs into a keyed state table
+    via foreachBatch. State versions are immutable parquet dirs
+    ``v{batch_id}`` — read previous, write next, never overwrite what
+    you read (the Delta-less MERGE INTO pattern; on a cluster the
+    version pointer would live in a table catalog / manifest).
+    Last-write-wins on the total order (ts, event_id) is associative,
+    so the final state is independent of batch boundaries — which is
+    exactly what the batch oracle checks."""
+    from pyspark.sql import Window
+
+    from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
+    from hadoop_deliver_spark.tables import prepare_session
+
+    prepare_session(spark)
+    src = _stage_dir(sf_dir, "events_stream_src4")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    n = next(_counter)
+    state = _stage_dir(sf_dir, f"upsert_state_{n}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    cp = _stage_dir(sf_dir, f"cp_upsert_{n}")
+    shutil.rmtree(cp, ignore_errors=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur = batch_df.select("user_id", "event_id", "value", "event_type", "ts")
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(state) if d.startswith("v")
+        )
+        if versions:
+            prev = s.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+            cur = prev.unionByName(cur)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state, f"v{batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = sorted(int(d[1:]) for d in os.listdir(state) if d.startswith("v"))
+    final = spark.read.parquet(os.path.join(state, f"v{versions[-1]}"))
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+    ).orderBy("user_id")
