@@ -30,9 +30,6 @@ from pyspark.sql import functions as F
 from hadoop_deliver_spark.registry import register
 from hadoop_deliver_spark.tables import tbl
 
-_R = 4
-
-
 @register(
     "fn_bitwise",
     """
@@ -99,7 +96,7 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(user_id, event_id) AS latest_user,
            arg_min(user_id, event_id) AS first_user,
            max(event_id) AS max_eid,
-           round(max(value), 4) AS max_value
+           CAST(max(value) AS REAL) AS max_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("aggregate",),
@@ -114,7 +111,7 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("user_id", "event_id").alias("latest_user"),
             F.min_by("user_id", "event_id").alias("first_user"),
             F.max("event_id").alias("max_eid"),
-            F.round(F.max("value"), _R).alias("max_value"),
+            F.max("value").cast("float").alias("max_value"),
         )
         .orderBy("event_type")
     )
@@ -165,7 +162,7 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT event_type, bucket,
-             round(arg_max(value, event_id), 4) AS obs_v
+             CAST(arg_max(value, event_id) AS REAL) AS obs_v
       FROM e GROUP BY event_type, bucket
     ),
     bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
@@ -205,7 +202,7 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round the very same parquet double (an engine-computed avg can
     # straddle a .xxxx5 rounding edge by one ulp).
     b = e.groupBy("event_type", "bucket").agg(
-        F.round(F.max_by("value", "event_id"), _R).alias("obs_v")
+        F.max_by("value", "event_id").cast("float").alias("obs_v")
     )
     bounds = e.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     grid = (
@@ -242,7 +239,7 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows,
            min(l_orderkey) AS min_key,
            max(l_orderkey) AS max_key,
-           round(sum(l_quantity), 4) AS sum_qty,
+           CAST(sum(l_quantity) AS REAL) AS sum_qty,
            md5(string_agg(l_orderkey || '#' || l_linenumber, ','
                           ORDER BY l_orderkey || '#' || l_linenumber))
              AS checksum
@@ -270,7 +267,7 @@ def delivery_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.min("l_orderkey").alias("min_key"),
             F.max("l_orderkey").alias("max_key"),
-            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+            F.sum("l_quantity").cast("float").alias("sum_qty"),
             F.md5(
                 F.concat_ws(",", F.sort_array(F.collect_list("rk")))
             ).alias("checksum"),
@@ -283,34 +280,30 @@ def delivery_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_trig",
     """
     SELECT p_partkey,
-           round(sin(p_retailprice / 1000), 4) AS s,
-           round(cos(p_retailprice / 1000), 4) AS c,
-           round(atan2(CAST(p_partkey AS DOUBLE), 7.0), 4) AS a2,
-           round(radians(CAST(p_partkey % 360 AS DOUBLE)), 4) AS rad,
-           round(degrees(1.0), 4) AS deg,
-           CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sg,
-           round(cbrt(CAST(p_partkey AS DOUBLE)), 4) AS cr
+           CAST(sin(p_retailprice / 1000) AS REAL) AS s,
+           CAST(cos(p_retailprice / 1000) AS REAL) AS c,
+           CAST(atan2(CAST(p_partkey AS DOUBLE), 7.0) AS REAL) AS a2,
+           CAST(radians(CAST(p_partkey % 360 AS DOUBLE)) AS REAL) AS rad,
+           CAST(degrees(1.0) AS REAL) AS deg,
+           CAST(sign(p_retailprice - 1000) AS REAL) AS sg,
+           CAST(cbrt(CAST(p_partkey AS DOUBLE)) AS REAL) AS cr
     FROM part ORDER BY p_partkey
     """,
     tags=("function", "math"),
 )
 def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sin/cos/atan2/radians/degrees/sign/cbrt — rounded to 4 decimals
-    (libm last-ulp differences across engines)."""
+    """sin/cos/atan2/radians/degrees/sign/cbrt — surfaced as float32
+    on both sides (JVM Math vs libm can differ in the last double ulp)."""
     p = tbl(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.round(F.sin(F.col("p_retailprice") / 1000), _R).alias("s"),
-        F.round(F.cos(F.col("p_retailprice") / 1000), _R).alias("c"),
-        F.round(F.atan2(F.col("p_partkey").cast("double"), F.lit(7.0)), _R).alias(
-            "a2"
-        ),
-        F.round(F.radians((F.col("p_partkey") % 360).cast("double")), _R).alias(
-            "rad"
-        ),
-        F.round(F.degrees(F.lit(1.0)), _R).alias("deg"),
-        F.signum(F.col("p_retailprice") - 1000).alias("sg"),
-        F.round(F.cbrt(F.col("p_partkey").cast("double")), _R).alias("cr"),
+        F.sin(F.col("p_retailprice") / 1000).cast("float").alias("s"),
+        F.cos(F.col("p_retailprice") / 1000).cast("float").alias("c"),
+        F.atan2(F.col("p_partkey").cast("double"), F.lit(7.0)).cast("float").alias("a2"),
+        F.radians((F.col("p_partkey") % 360).cast("double")).cast("float").alias("rad"),
+        F.degrees(F.lit(1.0)).cast("float").alias("deg"),
+        F.signum(F.col("p_retailprice") - 1000).cast("float").alias("sg"),
+        F.cbrt(F.col("p_partkey").cast("double")).cast("float").alias("cr"),
     ).orderBy("p_partkey")
 
 
@@ -352,3 +345,37 @@ def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.chr(F.lit(65) + (F.col("c_nationkey") % 26)).alias("nat_chr"),
         F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_id"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+           CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS bin_lo,
+           count(*) AS n_rows,
+           CAST(min(l_extendedprice) AS REAL) AS bin_min,
+           CAST(max(l_extendedprice) AS REAL) AS bin_max
+    FROM lineitem GROUP BY bin ORDER BY bin
+    """,
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (5000-unit bins) —
+    the one-pass distributed histogram shape: bin id is computed
+    map-side, so the shuffle carries one row per (partition, bin).
+    min/max per bin are exact parquet doubles surfaced as float32
+    per the cross-engine convention."""
+    li = tbl(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").cast("float").alias("bin_min"),
+            F.max("l_extendedprice").cast("float").alias("bin_max"),
+        )
+        .withColumn("bin_lo", F.col("bin") * 5000)
+        .select("bin", "bin_lo", "n_rows", "bin_min", "bin_max")
+        .orderBy("bin")
+    )

@@ -460,7 +460,7 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_upsert_merge",
     """
     SELECT user_id, event_id AS last_event_id,
-           round(value, 4) AS last_value,
+           CAST(value AS REAL) AS last_value,
            event_type AS last_type, ts AS last_ts
     FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts DESC, event_id DESC) AS rn
@@ -543,7 +543,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
-        F.round("value", 4).alias("last_value"),
+        F.col("value").cast("float").alias("last_value"),
         F.col("event_type").alias("last_type"),
         F.col("ts").alias("last_ts"),
     ).orderBy("user_id")
