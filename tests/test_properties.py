@@ -152,3 +152,19 @@ def test_plan_shapes(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan_of("agg_groupby_basic")
     assert "TakeOrderedAndProject" in plan_of("topk_global")
     assert "dynamicpruning" in plan_of("scan_partition_pruned").lower()
+
+    # agg_histogram: partial/final hash agg over a single-column scan —
+    # the bin id must be computed map-side (no pre-agg shuffle of raw rows).
+    hist = plan_of("agg_histogram")
+    assert "ReadSchema: struct<l_extendedprice:double>" in hist
+    assert hist.count("HashAggregate") >= 2
+
+    # ts_resample_gapfill: the only cross join allowed is the 1-row
+    # bounds broadcast (grid construction); the events table itself must
+    # never be on either side of a nested-loop join.
+    gap = plan_of("ts_resample_gapfill")
+    assert "CartesianProduct" not in gap
+
+    # delivery_manifest: column pruning down to the 4 needed columns.
+    man = plan_of("delivery_manifest")
+    assert "l_extendedprice" not in man.split("ReadSchema")[1][:200]
