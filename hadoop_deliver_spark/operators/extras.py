@@ -379,3 +379,62 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "bin_lo", "n_rows", "bin_min", "bin_max")
         .orderBy("bin")
     )
+
+
+@register(
+    "ts_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization, 30-minute inactivity gap: lag → gap flag →
+    running sum = session id → per-session aggregate. The batch twin of
+    stream_session_window (same sessions, plus the id). One shuffle on
+    user_id serves both windows and the final groupBy; ties at equal ts
+    are ordered by the unique event_id so the lag is deterministic."""
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
