@@ -194,21 +194,32 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
-           list_sort(list(DISTINCT n_regionkey + n_nationkey)) AS key_set
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT n_regionkey + n_nationkey)),
+                           ',') AS key_set
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group array collection (ObjectHashAggregate), sorted for
-    determinism before hashing."""
+    determinism. The arrays are surfaced as comma-joined strings so
+    the driver's value hasher (which cannot canonicalize raw arrays)
+    can verify them; the collect_list/collect_set aggregation itself
+    is unchanged."""
     n = tbl(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
-            F.array_sort(
-                F.collect_set(F.col("n_regionkey") + F.col("n_nationkey"))
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(
+                        (F.col("n_regionkey") + F.col("n_nationkey")).cast("long")
+                    )
+                ).cast("array<string>"),
+                ",",
             ).alias("key_set"),
         )
         .orderBy("n_regionkey")

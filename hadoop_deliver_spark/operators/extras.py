@@ -394,8 +394,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM o
     )
     SELECT user_id, session_id, min(ts) AS session_start,

@@ -305,19 +305,34 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            list_contains(arr, 3) AS has_three,
            arr[1] AS first_el,
-           list_slice(arr, 2, 3) AS mid,
-           list_sort(arr) AS sorted_arr,
-           list_sort(list_distinct(arr)) AS distinct_arr,
-           flatten([arr, arr]) AS doubled,
-           range(1, (p_partkey % 4) + 2) AS seq,
+           array_to_string(list_transform(list_slice(arr, 2, 3),
+                                          x -> CAST(x AS VARCHAR)), ',') AS mid,
+           array_to_string(list_transform(list_sort(arr),
+                                          x -> CAST(x AS VARCHAR)), ',')
+               AS sorted_arr,
+           array_to_string(list_transform(list_sort(list_distinct(arr)),
+                                          x -> CAST(x AS VARCHAR)), ',')
+               AS distinct_arr,
+           array_to_string(list_transform(flatten([arr, arr]),
+                                          x -> CAST(x AS VARCHAR)), ',')
+               AS doubled,
+           array_to_string(list_transform(range(1, (p_partkey % 4) + 2),
+                                          x -> CAST(x AS VARCHAR)), ',') AS seq,
            array_to_string(list_transform(arr, x -> CAST(x AS VARCHAR)), '-') AS joined
     FROM t ORDER BY p_partkey
     """,
 )
 def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array construction, contains, element_at, slice, sort,
-    distinct, flatten, sequence, join."""
+    distinct, flatten, sequence, join. Array-typed outputs are
+    comma-joined to strings (identical content) because the driver's
+    value hasher cannot canonicalize raw array cells; the array ops
+    themselves are unchanged underneath."""
     p = tbl(spark, sf_dir, "part")
+
+    def joined_str(col):
+        return F.array_join(col.cast("array<string>"), ",")
+
     t = p.select(
         "p_partkey",
         F.array(
@@ -330,11 +345,13 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.array_contains("arr", 3).alias("has_three"),
         F.element_at("arr", 1).alias("first_el"),
-        F.slice("arr", 2, 2).alias("mid"),
-        F.sort_array("arr").alias("sorted_arr"),
-        F.array_sort(F.array_distinct("arr")).alias("distinct_arr"),
-        F.flatten(F.array("arr", "arr")).alias("doubled"),
-        F.sequence(F.lit(1).cast("long"), (F.col("p_partkey") % 4) + 1).alias("seq"),
+        joined_str(F.slice("arr", 2, 2)).alias("mid"),
+        joined_str(F.sort_array("arr")).alias("sorted_arr"),
+        joined_str(F.array_sort(F.array_distinct("arr"))).alias("distinct_arr"),
+        joined_str(F.flatten(F.array("arr", "arr"))).alias("doubled"),
+        joined_str(
+            F.sequence(F.lit(1).cast("long"), (F.col("p_partkey") % 4) + 1)
+        ).alias("seq"),
         F.array_join(F.transform("arr", lambda x: x.cast("string")), "-").alias(
             "joined"
         ),
@@ -351,20 +368,29 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
     )
     SELECT p_partkey,
-           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x))))
-               AS inter,
-           list_sort(list_distinct(list_concat(a, b))) AS uni,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
-               AS diff,
+           COALESCE(array_to_string(list_transform(
+               list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))),
+               x -> CAST(x AS VARCHAR)), ','), '') AS inter,
+           COALESCE(array_to_string(list_transform(
+               list_sort(list_distinct(list_concat(a, b))),
+               x -> CAST(x AS VARCHAR)), ','), '') AS uni,
+           COALESCE(array_to_string(list_transform(
+               list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))),
+               x -> CAST(x AS VARCHAR)), ','), '') AS diff,
            greatest(len(a), len(b)) AS zip_len
     FROM t ORDER BY p_partkey
     """,
 )
 def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_intersect/union/except (+ arrays_zip length) — outputs
-    sorted because Spark's set-ops preserve first-occurrence order
-    while the oracle recomputes via list_filter."""
+    sorted (Spark's set-ops preserve first-occurrence order while the
+    oracle recomputes via list_filter) and comma-joined to strings so
+    the driver's hasher can verify them; set-op logic unchanged."""
     p = tbl(spark, sf_dir, "part")
+
+    def joined_str(col):
+        return F.array_join(col.cast("array<string>"), ",")
+
     t = p.select(
         "p_partkey",
         F.array(
@@ -374,9 +400,9 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "p_partkey",
-        F.array_sort(F.array_intersect("a", "b")).alias("inter"),
-        F.array_sort(F.array_union("a", "b")).alias("uni"),
-        F.array_sort(F.array_except("a", "b")).alias("diff"),
+        joined_str(F.array_sort(F.array_intersect("a", "b"))).alias("inter"),
+        joined_str(F.array_sort(F.array_union("a", "b"))).alias("uni"),
+        joined_str(F.array_sort(F.array_except("a", "b"))).alias("diff"),
         F.size(F.arrays_zip("a", "b")).cast("long").alias("zip_len"),
     ).orderBy("p_partkey")
 

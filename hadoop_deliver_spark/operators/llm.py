@@ -41,13 +41,20 @@ def _tokens(d: DataFrame) -> DataFrame:
 def _shingle_sets(d: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingles array<string>) — distinct k-token shingles,
     built columnar (transform over a sequence of start offsets), no
-    UDF. At 100 TB this is a map-only projection."""
+    UDF. At 100 TB this is a map-only projection. Docs shorter than k
+    tokens get an EMPTY set: without the guard, F.sequence(0, n−k)
+    DESCENDS for n<k (default step −1) and would fabricate shingles;
+    DuckDB's range(1, n−k+1) is already empty there, so the guard is
+    what keeps the two engines identical on degenerate docs."""
     toks = F.split("text", " ")
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 

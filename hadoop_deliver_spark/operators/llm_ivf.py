@@ -23,7 +23,7 @@ from hadoop_deliver_spark.tables import tbl
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (k=8, fixed seed) → assign
     vectors to cells → probe search joins each probe only against its
-    own cell (nprobe=1) → top-3 by cosine. Rows-only: centroid
+    2 nearest centroid cells (nprobe=2) → top-3 by cosine. Rows-only: centroid
     positions depend on the trainer; recall was validated against
     llm_sim_bruteforce ground truth at sf0.001. The scale story is
     the shape: search cost drops from |table| to |cell| per probe,

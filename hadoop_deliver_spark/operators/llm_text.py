@@ -76,14 +76,22 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no cap."""
     t = 0.55
     d = tbl(spark, sf_dir, "documents")
+    # guard: F.sequence descends for texts shorter than 5 chars (step
+    # defaults to −1), which would fabricate grams; DuckDB's range is
+    # empty there, so emit an empty set to stay engine-identical.
     grams = d.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 4),
-                lambda i: F.col("text").substr(i, F.lit(5)),
-            )
-        ).alias("gs"),
+        F.when(
+            F.length("text") >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 4),
+                    lambda i: F.col("text").substr(i, F.lit(5)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
     ).cache()
     inv = grams.select("doc_id", F.size("gs").alias("n"), F.explode("gs").alias("g"))
     # PPJoin-style prefix filtering (Xiao et al., public algorithm):
@@ -125,11 +133,24 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only (id, id) pairs. Measured at sf0.1: 396 s → 59 s, same 256
     # pairs. For a natural large-vocab corpus, flip the refine back
     # to sorted-array intersection; the candidate stage is unchanged.
-    n_grams = gdf.count()
-    n_chunks = (n_grams + 63) // 64
-    gid = gdf.select(
-        "g", (F.row_number().over(Window.orderBy("g")) - 1).alias("gid")
+    # Gram-id assignment WITHOUT a global single-partition sort: hash
+    # each gram into one of 64 buckets, rank within its bucket (the
+    # window is partitioned — parallel across buckets), and interleave
+    # as gid = rank·64 + bucket. Ids are collision-free and dense up to
+    # the bucket-balance factor (bitmap grows by max/mean bucket size,
+    # ~1.1× under xxhash64 balance), and no stage serializes on one
+    # task — the round-1 `Window.orderBy("g")` version did.
+    n_buckets = 64
+    wb = Window.partitionBy("pid").orderBy("g")
+    gid = (
+        gdf.withColumn("pid", F.pmod(F.xxhash64("g"), F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            "gid", (F.row_number().over(wb) - 1) * n_buckets + F.col("pid")
+        )
+        .select("g", "gid")
     )
+    max_gid = gid.agg(F.max("gid")).first()[0]
+    n_chunks = (max_gid + 64) // 64
     chunks = (
         inv.join(F.broadcast(gid), "g")
         .withColumn("c", (F.col("gid") / 64).cast("int"))
@@ -276,28 +297,75 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates: all pairs with cos ≥ 0.9.
-    Exact all-pairs is the fixture-scale baseline (the threshold
-    predicate prunes output, not compute); the 100 TB path buckets
-    with llm_sim_lsh first and refines exactly — same refine
-    expression as here."""
-    from hadoop_deliver_spark.operators.llm import _dot, _norm
-
+    """Embedding-cosine near-duplicates: all pairs with cos ≥ 0.9,
+    found by a LOSSLESS grid-bucket equi-join instead of an all-pairs
+    theta join. Math: cos(a,b) ≥ τ ⇔ the L2 distance between the
+    unit-normalized vectors is ≤ δ = sqrt(2−2τ); projecting onto any
+    fixed unit direction u is 1-Lipschitz, so |⟨â,u⟩−⟨b̂,u⟩| ≤ δ too.
+    Bucket each vector by floor(proj/w) on two fixed directions with
+    cell width w ≥ δ, and every qualifying pair lands in the same or
+    an adjacent cell along each axis — so joining a's cell against b
+    replicated to its 3×3 cell neighborhood finds EXACTLY the same
+    pair set as all-pairs (no LSH recall caveat), while Spark plans a
+    shuffled equi-join on the composite cell key instead of a
+    BroadcastNestedLoopJoin. Cost: 9× replication of one side and
+    only same-neighborhood candidates scored — at 100 TB the cell key
+    is an ordinary shuffle key, and denser grids (more projections)
+    trade replication for candidate pruning."""
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    ).withColumn("nrm", _norm("e"))
-    a = emb.select(
+    )
+    return _grid_cosine_pairs(emb, tau=0.9)
+
+
+def _grid_cosine_pairs(emb: DataFrame, tau: float) -> DataFrame:
+    """(vec_id, e:array<double>) → all pairs with cos ≥ tau via the
+    lossless grid equi-join described in llm_dedup_embedding. Factored
+    out so the property suite can verify grid-vs-brute-force equality
+    at a lower tau where the fixture corpus actually has pairs."""
+    import math
+
+    from hadoop_deliver_spark.operators.llm import _dot, _norm
+
+    # cell width ≥ δ = sqrt(2 − 2τ); 1% headroom over the bound
+    w = math.sqrt(max(2.0 - 2.0 * tau, 1e-12)) * 1.01
+    emb = emb.withColumn("nrm", _norm("e"))
+    d = F.sqrt(F.size("e").cast("double"))
+    # two fixed unit directions: all-ones/√d and alternating ±1/√d
+    p1 = F.aggregate("e", F.lit(0.0), lambda acc, v: acc + v) / (F.col("nrm") * d)
+    p2 = F.aggregate(
+        F.transform(
+            "e",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("nrm") * d)
+    cells = emb.withColumn("c1", F.floor(p1 / w).cast("int")).withColumn(
+        "c2", F.floor(p2 / w).cast("int")
+    )
+    a = cells.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+        F.col("nrm").alias("na"), "c1", "c2",
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    b = (
+        cells.withColumn("d1", F.explode(off))
+        .withColumn("d2", F.explode(off))
+        .select(
+            F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+            (F.col("c1") + F.col("d1")).alias("c1"),
+            (F.col("c2") + F.col("d2")).alias("c2"),
+        )
     )
+    # a's (c1,c2) is unique per vector, so each qualifying pair matches
+    # exactly one of b's 9 replicas — no post-join dedup needed.
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["c1", "c2"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cos") >= 0.9)
+        .filter(F.col("cos") >= F.lit(tau))
         .select("vec_a", "vec_b", F.col("cos").cast("float").alias("cos"))
         .orderBy("vec_a", "vec_b")
     )

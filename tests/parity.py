@@ -69,6 +69,15 @@ def _cells_equal(a, b) -> bool:
     if (a is None) != (b is None):
         return False
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        # Numeric KIND must match too: the driver's t2 gate hashes raw
+        # values, so Spark int64 `1` vs DuckDB float64 `1.0` (e.g. a
+        # HUGEINT windowed sum round-tripped through pandas) is a hash
+        # mismatch there even though float(a)==float(b). Reproduce that
+        # strictness here so dtype drift fails locally, not at the gate.
+        if isinstance(a, bool) != isinstance(b, bool):
+            return False
+        if isinstance(a, float) != isinstance(b, float):
+            return False
         return float(a) == float(b)
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))

@@ -168,3 +168,112 @@ def test_plan_shapes(spark, sf_dir):
     # delivery_manifest: column pruning down to the 4 needed columns.
     man = plan_of("delivery_manifest")
     assert "l_extendedprice" not in man.split("ReadSchema")[1][:200]
+
+
+# Queries whose plans legitimately contain a nested-loop join node:
+# either the operator IS a cross/theta join by spec, or the build side
+# is a tiny broadcast (probe set, 8 centroids, 1-row bounds) so the
+# nested loop is a single pass over the big side — the correct shape.
+_NESTED_LOOP_OK = {
+    "join_cross",          # cross join by spec
+    "join_theta_range",    # non-equi theta join by spec
+    "llm_sim_bruteforce",  # broadcast probe set × base scan (one pass)
+    "llm_sim_ivf",         # 8-row centroid table broadcast
+    "ts_resample_gapfill", # 1-row min/max bounds broadcast for the grid
+}
+
+
+def test_no_accidental_nested_loop_joins(spark, sf_dir):
+    """Registry-wide scale guard: NO registered batch query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin unless it is on the
+    documented allowlist above. This permanently locks in the
+    de-quadratic rewrites (llm_dedup_embedding grid join,
+    llm_dedup_ngram_jaccard hash gram ids) — a regression to an
+    all-pairs theta join fails here even though fixture-scale parity
+    would still pass."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name in sorted(R):
+        if name.startswith(("stream_", "source_stream", "sink_stream")):
+            continue  # streaming: result plan is the memory-sink scan
+        if name in _NESTED_LOOP_OK:
+            continue
+        plan = R[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"nested-loop join leaked into: {offenders}"
+
+
+def test_grid_cosine_pairs_lossless(spark, sf_dir):
+    """The grid-bucket equi-join behind llm_dedup_embedding must return
+    EXACTLY the brute-force all-pairs result — the grid is a lossless
+    partitioner, not an approximate LSH. Checked at τ=0.3 where the
+    fixture corpus has nonzero qualifying pairs (at the operator's
+    τ=0.9 the fixtures have none, which would make this vacuous)."""
+    from hadoop_deliver_spark.operators.llm import _dot, _norm
+    from hadoop_deliver_spark.operators.llm_text import _grid_cosine_pairs
+
+    tau = 0.3
+    emb = (
+        tbl(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    grid = _grid_cosine_pairs(emb, tau=tau).collect()
+    e = emb.withColumn("nrm", _norm("e"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    brute = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= tau)
+        .select("vec_a", "vec_b", F.col("cos").cast("float").alias("cos"))
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    )
+    assert len(brute) > 0, "fixture has no pairs at tau=0.3 — test is vacuous"
+    assert grid == brute
+
+
+def test_shingles_short_docs_match_duckdb(spark, duck, sf_dir):
+    """Docs shorter than the shingle width k must produce EMPTY shingle
+    sets identically in both engines: Spark's F.sequence(0, n−k)
+    descends for n<k and would fabricate shingles without the guard,
+    while DuckDB's range() is empty there."""
+    import pandas as pd
+
+    from hadoop_deliver_spark.operators.llm import _SHINGLE_SET_SQL, _shingle_sets
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["one", "two tokens", "exactly three tokens", "a b c d"],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    got = {
+        r.doc_id: sorted(r.shingles)
+        for r in _shingle_sets(sdf, k=3).collect()
+    }
+    duck.register("prop_short_docs", docs)
+    want = {
+        r[0]: sorted(r[1])
+        for r in duck.execute(
+            _SHINGLE_SET_SQL.replace("FROM documents", "FROM prop_short_docs")
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1] == [] and got[2] == []  # sub-k docs are empty, not garbage
