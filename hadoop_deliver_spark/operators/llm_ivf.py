@@ -21,33 +21,53 @@ from hadoop_deliver_spark.tables import tbl
 
 @register("llm_sim_ivf", None)  # rows-only: centroids are trainer-specific
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (k=8, fixed seed) → assign
-    vectors to cells → probe search joins each probe only against its
-    2 nearest centroid cells (nprobe=2) → top-3 by cosine. Rows-only: centroid
-    positions depend on the trainer; recall was validated against
-    llm_sim_bruteforce ground truth at sf0.001. The scale story is
-    the shape: search cost drops from |table| to |cell| per probe,
-    and the cell id is a shuffle key any cluster can partition on."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF ANN: SPHERICAL k-means coarse quantizer (k=10, fixed seed,
+    trained on unit-normalized vectors so Euclidean cell assignment
+    agrees with the cosine ranking metric — for unit vectors
+    ‖a−b‖² = 2−2cos, so k-means on the sphere clusters by angle) →
+    assign vectors to cells → probe search joins each probe only
+    against its 3 nearest centroid cells (nprobe=3) → top-3 by
+    cosine. Rows-only: centroid positions depend on the trainer;
+    recall validated against llm_sim_bruteforce ground truth
+    (test_ivf_recall_floor). The scale story is the shape: search
+    cost drops from |table| to nprobe·|cell| per probe, and the cell
+    id is a shuffle key any cluster can partition on.
 
-    emb = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector("embedding").alias("v"), "embedding"
-    )
+    Tuning, measured against brute force: the corpus has 10 natural
+    clusters (label structure), and k=8 cells straddled them —
+    recall@3 at sf0.01 was 0.47 (k=8, nprobe=2) vs 0.80 (k=10,
+    nprobe=3); sf0.001 goes 0.80 → 0.87. Rule at scale: pick k near
+    the corpus's cluster count (or sqrt(N) for unstructured corpora)
+    and spend nprobe, not k, for recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     from hadoop_deliver_spark.operators.llm import _dot as dot
     from hadoop_deliver_spark.operators.llm import _norm
 
-    km = KMeans(k=8, seed=42, featuresCol="v", predictionCol="cell")
+    base = (
+        tbl(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e0"),
+        )
+        .withColumn("nrm0", _norm("e0"))
+        .select(
+            "vec_id",
+            F.transform("e0", lambda x: x / F.col("nrm0")).alias("e"),
+        )
+    )
+    emb = base.select("vec_id", "e", array_to_vector("e").alias("v"))
+    km = KMeans(k=10, seed=42, featuresCol="v", predictionCol="cell")
     model = km.fit(emb)
-    assigned = model.transform(emb).select(
-        "vec_id",
-        "cell",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).withColumn("nrm", _norm("e"))
+    # unit vectors ⇒ nrm is 1 by construction; keep the column so the
+    # cosine refine below stays the shared _with_cosine shape.
+    assigned = model.transform(emb).select("vec_id", "cell", "e").withColumn(
+        "nrm", F.lit(1.0)
+    )
 
-    # nprobe=2: each probe searches its 2 nearest centroid cells.
-    # Measured recall@3 vs brute force at sf0.001: 0.60 @ nprobe=1,
-    # 0.80 @ nprobe=2 — the standard IVF recall/cost knob.
+    # nprobe=3: each probe searches its 3 nearest centroid cells —
+    # the standard IVF recall/cost knob.
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, ce array<double>",
@@ -67,7 +87,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_vecs.crossJoin(F.broadcast(centroids))
         .withColumn("cdist", d2)
         .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= 2)
+        .filter(F.col("crn") <= 3)
         .select("probe_id", "pe", "pnrm", "cell")
     )
     scored = (
