@@ -303,7 +303,16 @@ def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — the scale path when the probe set is NOT
     broadcastable. Rows-only: the projection family is seeded
     Spark-internal; parameters were validated against the brute-force
-    ground truth (llm_sim_bruteforce) at sf0.001."""
+    ground truth (llm_sim_bruteforce) at sf0.001.
+
+    Radius: the corpus vectors are unit-normalized, so euclidean
+    distance is bounded by 2 and maps to cosine via d² = 2−2cos; the
+    1.2 radius below keeps pairs with cos ≥ 0.28 — a real similarity
+    cut. (An earlier 8.0 radius pruned NOTHING on unit vectors: every
+    same-bucket candidate survived — 1.87M output pairs at sf0.1,
+    28 s. Measured at r=1.2: 1.4k pairs at sf0.001/0.01, 23k pairs
+    (1.1% of all-pairs) in ~4 s at sf0.1 — the output, not the
+    bucketing, was the quadratic part.)"""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -314,7 +323,7 @@ def llm_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="v", outputCol="h", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, 8.0, distCol="dist")
+    pairs = model.approxSimilarityJoin(emb, emb, 1.2, distCol="dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
