@@ -11,6 +11,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     joins,
     llm,
     llm_ivf,
+    llm_pipeline,
     llm_text,
     projections,
     setops,
