@@ -8,10 +8,14 @@ materializes rows on the driver.
 
 Float policy: every *computed* double aggregate is cast to float32
 (`FLOAT`/`REAL`) on both the Spark and DuckDB side; raw value
-selections (min/max/min_by/...) pass through as float64. Cross-engine
-sums differ in the last double ulps (summation order), and round()
-semantics differ at decimal ties — the float32 collapse removes both
-while staying bit-exact under the driver's value hash.
+selections (min/max/min_by/...) pass through as float64. Money
+SUMS/AVGS additionally go through `tables.dec2` (DECIMAL(18,2))
+before summing: float32 only *probabilistically* absorbs the
+summation-order ulp drift between engines (measured 2-in-15,000
+groups landing on a float32 rounding boundary at sf0.1), while a
+decimal sum is associative-exact — identical under any partitioning,
+on any engine, at any scale. Quantity-like columns are integer-valued
+doubles whose sums are already exact below 2^53.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_deliver_spark.registry import register
-from hadoop_deliver_spark.tables import tbl
+from hadoop_deliver_spark.tables import dec2, tbl
 
 _R = 4  # float rounding decimals, mirrored in every oracle
 
@@ -40,8 +44,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("float").alias("sum_qty"),
-            F.sum("l_extendedprice").cast("float").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            F.sum(dec2("l_extendedprice"))
+            .cast("double")
+            .cast("float")
+            .alias("sum_base_price"),
+            F.sum(
+                dec2("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+            )
+            .cast("double")
             .cast("float")
             .alias("sum_disc_price"),
             F.avg("l_quantity").cast("float").alias("avg_qty"),
@@ -54,8 +65,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLAGSHIP_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS REAL) AS sum_qty,
-       CAST(sum(l_extendedprice) AS REAL) AS sum_base_price,
-       CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS REAL) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS REAL) AS sum_disc_price,
        CAST(avg(l_quantity) AS REAL) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -71,7 +85,8 @@ register("agg_groupby_basic", FLAGSHIP_ORACLE)(flagship)
     "agg_global",
     f"""
     SELECT CAST(sum(l_quantity) AS REAL) AS sum_qty,
-           CAST(avg(l_extendedprice) AS REAL) AS avg_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(l_extendedprice) AS REAL) AS avg_price,
            min(l_discount) AS min_disc,
            max(l_tax) AS max_tax,
            count(*) AS n_rows,
@@ -85,7 +100,9 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     return li.agg(
         F.sum("l_quantity").cast("float").alias("sum_qty"),
-        F.avg("l_extendedprice").cast("float").alias("avg_price"),
+        (F.sum(dec2("l_extendedprice")).cast("double") / F.count("l_extendedprice"))
+        .cast("float")
+        .alias("avg_price"),
         F.min("l_discount").alias("min_disc"),
         F.max("l_tax").alias("max_tax"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -296,7 +313,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     f"""
     SELECT r_name, n_name,
-           CAST(sum(c_acctbal) AS REAL) AS total_bal,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total_bal,
            count(*) AS n_cust,
            grouping(r_name) * 2 + grouping(n_name) AS gid
     FROM customer c
@@ -318,7 +336,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.sum("c_acctbal").cast("float").alias("total_bal"),
+            F.sum(dec2("c_acctbal")).cast("double").cast("float").alias("total_bal"),
             F.count(F.lit(1)).alias("n_cust"),
             F.grouping_id().alias("gid"),
         )

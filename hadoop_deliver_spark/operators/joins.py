@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_deliver_spark.registry import register
-from hadoop_deliver_spark.tables import tbl
+from hadoop_deliver_spark.tables import dec2, tbl
 
 _R = 4
 
@@ -32,7 +32,9 @@ _R = 4
     f"""
     SELECT o.o_orderpriority,
            count(*) AS n_lines,
-           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS REAL) AS revenue
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS REAL) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
@@ -47,7 +49,11 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            F.sum(
+                dec2("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+            )
+            .cast("double")
             .cast("float")
             .alias("revenue"),
         )
@@ -59,7 +65,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     f"""
     SELECT n.n_name,
-           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS REAL) AS revenue
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS REAL) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -85,7 +93,11 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            F.sum(
+                dec2("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+            )
+            .cast("double")
             .cast("float")
             .alias("revenue")
         )
@@ -98,7 +110,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT c.c_custkey, c.c_name,
            count(o.o_orderkey) AS n_orders,
-           CAST(coalesce(sum(o.o_totalprice), 0) AS REAL) AS total_spend
+           CAST(CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS REAL) AS total_spend
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
     """,
@@ -113,7 +126,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0))
+            F.coalesce(F.sum(dec2("o_totalprice")).cast("double"), F.lit(0.0))
             .cast("float")
             .alias("total_spend"),
         )
@@ -242,7 +255,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT s.s_suppkey,
            count(*) AS n_parts,
-           CAST(avg(p.p_retailprice) AS REAL) AS avg_price
+           CAST(CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*) AS REAL) AS avg_price
     FROM supplier s
     JOIN part p ON p.p_retailprice BETWEEN s.s_acctbal / 5.0 AND s.s_acctbal / 3.0
     GROUP BY s.s_suppkey ORDER BY s.s_suppkey
@@ -263,7 +277,9 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.avg("p_retailprice").cast("float").alias("avg_price"),
+            (F.sum(dec2("p_retailprice")).cast("double") / F.count(F.lit(1)))
+            .cast("float")
+            .alias("avg_price"),
         )
         .orderBy("s_suppkey")
     )
@@ -274,7 +290,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT a.user_id,
            count(*) AS n_followups,
-           CAST(sum(b.value) AS REAL) AS followup_value
+           CAST(CAST(sum(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS followup_value
     FROM events a
     JOIN events b
       ON b.user_id = a.user_id
@@ -310,7 +327,8 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_followups"),
-            F.sum("b_value").cast("float").alias("followup_value"),
+            F.sum(dec2("b_value")).cast("double").cast("float")
+            .alias("followup_value"),
         )
         .orderBy("user_id")
     )
@@ -442,7 +460,9 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('day', CAST(a.ts AS TIMESTAMP)) AS day,
            count(*) AS n_pairs,
-           CAST(avg(b.value - a.value) AS REAL) AS avg_value_delta
+           CAST(CAST(sum(CAST(b.value AS DECIMAL(18,2))
+                         - CAST(a.value AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*) AS REAL) AS avg_value_delta
     FROM events a
     JOIN events b
       ON b.event_id <> a.event_id
@@ -490,7 +510,10 @@ def join_time_bucket_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "a_ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.avg(F.col("b_value") - F.col("a_value"))
+            (
+                F.sum(dec2("b_value") - dec2("a_value")).cast("double")
+                / F.count(F.lit(1))
+            )
             .cast("float")
             .alias("avg_value_delta"),
         )
@@ -502,7 +525,8 @@ def join_time_bucket_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_two_phase",
     """
     SELECT user_id, count(*) AS n_events,
-           CAST(sum(value) AS REAL) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total_value
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -523,14 +547,14 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum("value").alias("pv"),
+            F.sum(dec2("value")).alias("pv"),
         )
     )
     return (
         partial.groupBy("user_id")
         .agg(
             F.sum("pn").alias("n_events"),
-            F.sum("pv").cast("float").alias("total_value"),
+            F.sum("pv").cast("double").cast("float").alias("total_value"),
         )
         .orderBy("user_id")
     )

@@ -250,3 +250,117 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pack_id")
     )
+
+
+@register(
+    "llm_vocab_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                           THEN list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i + 1])
+                           ELSE [] END) AS pair
+        FROM toks
+    ),
+    counts AS (
+        SELECT pair, count(*) AS n, count(DISTINCT doc_id) AS df
+        FROM bigrams GROUP BY pair
+    )
+    SELECT pair, n, df
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rn FROM counts)
+    WHERE rn <= 50 ORDER BY n DESC, pair
+    """,
+)
+def llm_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-merge statistics (the first BPE/WordPiece iteration
+    at word granularity): corpus-wide adjacent-token-pair counts and
+    document frequencies, top 50 by count with the pair string as the
+    deterministic tiebreak. Shape at 100 TB: the bigram explode is
+    map-side, the (pair) groupBy is the one shuffle with partial
+    aggregation underneath, and the top-50 is a TakeOrderedAndProject
+    bounded heap — the same plan a full BPE trainer runs per merge
+    round, so this op IS the inner loop of distributed vocab
+    construction."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+@register(
+    "llm_mix_weights",
+    """
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    scaled AS (
+        SELECT *,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS raw
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(CAST(n_tokens AS DOUBLE)
+                / sum(CAST(n_tokens AS DOUBLE))
+                      OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS REAL) AS token_share,
+           CAST(raw / sum(raw) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND UNBOUNDED FOLLOWING)
+                AS REAL) AS weight
+    FROM scaled ORDER BY source
+    """,
+)
+def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing weights with temperature rebalancing: per-source
+    token counts → sampling weight ∝ share^(1/2) (temperature τ=2 in
+    the multinomial-sampling formulation used for multilingual/
+    multi-source training mixes — upweights small sources, downweights
+    the head). The per-source aggregate is one shuffle; the
+    normalization is a 20-row window, evaluated in the same explicit
+    ORDER BY source frame on both engines so the float sums are
+    order-identical and the float32 outputs hash-match exactly."""
+    d = tbl(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    raw = F.sqrt(F.col("n_tokens").cast("double"))
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.sum(F.col("n_tokens").cast("double")).over(w))
+            .cast("float")
+            .alias("token_share"),
+            (raw / F.sum(raw).over(w)).cast("float").alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_deliver_spark.registry import register
-from hadoop_deliver_spark.tables import tbl
+from hadoop_deliver_spark.tables import dec2, tbl
 
 _STAGE = "/tmp/hds_stage"
 _counter = itertools.count()
@@ -137,7 +137,8 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_orc",
     """
     SELECT l_returnflag, count(*) AS n,
-           CAST(sum(l_extendedprice) AS REAL) AS sum_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS sum_price,
            min(l_shipdate) AS first_ship
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -153,7 +154,8 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("l_extendedprice").cast("float").alias("sum_price"),
+            F.sum(dec2("l_extendedprice")).cast("double").cast("float")
+            .alias("sum_price"),
             F.min("l_shipdate").alias("first_ship"),
         )
         .orderBy("l_returnflag")
@@ -164,7 +166,8 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_parquet_partitioned",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(sum(o_totalprice) AS REAL) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total
     FROM orders GROUP BY o_orderstatus, o_orderpriority
     ORDER BY o_orderstatus, o_orderpriority
     """,
@@ -183,7 +186,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").cast("float").alias("total"),
+            F.sum(dec2("o_totalprice")).cast("double").cast("float").alias("total"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
@@ -208,7 +211,8 @@ def sink_csv_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_bucketed",
     """
     SELECT c_nationkey, count(*) AS n_cust,
-           CAST(sum(c_acctbal) AS REAL) AS total_bal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total_bal
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 )
@@ -233,7 +237,7 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.sum("c_acctbal").cast("float").alias("total_bal"),
+            F.sum(dec2("c_acctbal")).cast("double").cast("float").alias("total_bal"),
         )
         .orderBy("c_nationkey")
     )
@@ -261,7 +265,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_stream_files",
     """
     SELECT event_type, count(*) AS n,
-           CAST(sum(value) AS REAL) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -277,7 +282,7 @@ def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(cp, ignore_errors=True)
     agg = _events_stream(spark, sf_dir).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").cast("float").alias("total_value"),
+        F.sum(dec2("value")).cast("double").cast("float").alias("total_value"),
     )
     q = (
         agg.writeStream.format("memory")
@@ -295,7 +300,8 @@ def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_stream_table",
     """
     SELECT user_id, count(*) AS n_purchases,
-           CAST(sum(value) AS REAL) AS purchase_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS purchase_value
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id ORDER BY user_id
     """,
@@ -327,7 +333,7 @@ def sink_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.sum("value").cast("float").alias("purchase_value"),
+            F.sum(dec2("value")).cast("double").cast("float").alias("purchase_value"),
         )
         .orderBy("user_id")
     )
@@ -337,7 +343,8 @@ def sink_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_partition_pruned",
     """
     SELECT o.o_orderpriority, count(*) AS n,
-           CAST(sum(o.o_totalprice) AS REAL) AS total
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total
     FROM orders o
     JOIN (SELECT DISTINCT o_orderstatus FROM orders
           WHERE o_orderstatus IN ('F', 'P')) s
@@ -372,7 +379,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").cast("float").alias("total"),
+            F.sum(dec2("o_totalprice")).cast("double").cast("float").alias("total"),
         )
         .orderBy("o_orderpriority")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import dec2
 from hadoop_deliver_spark.operators.sources import (
     _counter,
     _ensure_staged,
@@ -92,7 +93,8 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events, unnest(range(0, 4)) AS t(i)
     )
     SELECT window_start,
-           CAST(avg(value) AS REAL) AS avg_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+                AS REAL) AS avg_value,
            count(*) AS n
     FROM expanded GROUP BY window_start ORDER BY window_start
     """,
@@ -106,7 +108,9 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "15 minutes"))
         .agg(
-            F.avg("value").cast("float").alias("avg_value"),
+            (F.sum(dec2("value")).cast("double") / F.count("value"))
+            .cast("float")
+            .alias("avg_value"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(F.col("window.start").alias("window_start"), "avg_value", "n")
@@ -191,7 +195,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stream_join",
     """
     SELECT c.user_id, count(*) AS n_pairs,
-           CAST(sum(p.value) AS REAL) AS purchase_value
+           CAST(CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS purchase_value
     FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
           WHERE event_type = 'click') c
     JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -234,7 +239,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         collected.groupBy(F.col("c_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("p_value").cast("float").alias("purchase_value"),
+            F.sum(dec2("p_value")).cast("double").cast("float")
+            .alias("purchase_value"),
         )
         .orderBy("user_id")
     )
@@ -244,7 +250,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     """
     SELECT c.c_mktsegment, count(*) AS n_events,
-           CAST(sum(e.value) AS REAL) AS total_value
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
@@ -252,7 +259,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream⋈static dimension join (stateless — the static side is
     just broadcast into every micro-batch; no watermark needed)."""
-    from hadoop_deliver_spark.tables import tbl
+    from hadoop_deliver_spark.tables import dec2, tbl
 
     ev = _events_stream(spark, sf_dir)
     cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -264,7 +271,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         collected.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").cast("float").alias("total_value"),
+            F.sum(dec2("value")).cast("double").cast("float").alias("total_value"),
         )
         .orderBy("c_mktsegment")
     )
@@ -391,7 +398,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     the initial watermark governs input filtering, which is why the
     demonstration needs two runs.)"""
     from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
-    from hadoop_deliver_spark.tables import prepare_session
+    from hadoop_deliver_spark.tables import dec2, prepare_session
 
     prepare_session(spark)
     staged = _two_batch_staging(spark, sf_dir)
@@ -483,7 +490,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
-    from hadoop_deliver_spark.tables import prepare_session
+    from hadoop_deliver_spark.tables import dec2, prepare_session
 
     prepare_session(spark)
     src = _stage_dir(sf_dir, "events_stream_src4")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_deliver_spark.registry import register
-from hadoop_deliver_spark.tables import tbl
+from hadoop_deliver_spark.tables import dec2, tbl
 
 
 @register(
@@ -133,10 +133,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(sum(o_totalprice) OVER (
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS REAL) AS running_spend
+           ) AS DOUBLE) AS REAL) AS running_spend
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
@@ -152,7 +152,8 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum("o_totalprice").over(w).cast("float").alias("running_spend"),
+        F.sum(dec2("o_totalprice")).over(w).cast("double").cast("float")
+        .alias("running_spend"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -160,11 +161,12 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg",
     """
     SELECT event_id,
-           CAST(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS REAL) AS mov_avg7
-    FROM events ORDER BY event_id
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+                / count(value) OVER w7 AS REAL) AS mov_avg7
+    FROM events
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
     """,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +179,9 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.avg("value").over(w).cast("float").alias("mov_avg7"),
+        (F.sum(dec2("value")).over(w).cast("double") / F.count("value").over(w))
+        .cast("float")
+        .alias("mov_avg7"),
     ).orderBy("event_id")
 
 
@@ -185,12 +189,14 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_frame",
     """
     SELECT event_id,
-           CAST(sum(value) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
-           ) AS REAL) AS day_window_value,
+           ) AS DOUBLE) AS REAL) AS day_window_value,
            CAST(count(*) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS day_window_n
     FROM events ORDER BY event_id
@@ -199,7 +205,12 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame by value offset: trailing-24h sum per user, ordered
     by epoch seconds. Range frames are value-based, so rows with equal
-    order keys share a frame — no tiebreaker needed (or allowed)."""
+    order keys share a frame — no tiebreaker needed (or allowed).
+    Engine gotcha encoded in the oracle: Spark's timestamp→long cast
+    TRUNCATES to seconds while DuckDB's double→BIGINT cast ROUNDS, so
+    the oracle wraps epoch() in floor() — without it, rows within
+    0.5 s of a frame edge land in different 86400-second windows
+    (2 rows flipped at sf0.1)."""
     ev = tbl(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -208,7 +219,8 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.sum("value").over(w).cast("float").alias("day_window_value"),
+        F.sum(dec2("value")).over(w).cast("double").cast("float")
+        .alias("day_window_value"),
         F.count(F.lit(1)).over(w).cast("long").alias("day_window_n"),
     ).orderBy("event_id")
 

@@ -59,3 +59,21 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # int64-nanos → µs-truncated timestamp (exact integer math).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def dec2(col):
+    """2-decimal money column → DECIMAL(18,2), recovering the exact
+    cents value from its double representation.
+
+    Why: Spark and DuckDB sum doubles in different orders (partition
+    tree vs per-thread sequential / window segment tree), so
+    `sum(double) → float32` is only *probably* hash-identical — the
+    last-ulp drift lands on a float32 rounding boundary for ~1 in 10⁴
+    money groups (measured: 2 of 15,000 customers at sf0.1 in
+    join_left_outer). Summing in DECIMAL is associative-exact: the
+    total is the same value under ANY summation order, on both
+    engines, at every scale. Every money sum/avg in the engine goes
+    through this cast; quantity-like columns (integer-valued doubles)
+    don't need it — integer sums below 2^53 are already exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hadoop_deliver_spark.tables import tbl
+from hadoop_deliver_spark.tables import dec2, tbl
 
 
 def test_dataframe_vs_sql_flagship(spark, sf_dir):
@@ -20,9 +20,12 @@ def test_dataframe_vs_sql_flagship(spark, sf_dir):
         """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS FLOAT) AS sum_qty,
-               CAST(sum(l_extendedprice) AS FLOAT) AS sum_base_price,
-               CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT)
-                   AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS FLOAT) AS sum_base_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2))
+                                - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE) AS FLOAT) AS sum_disc_price,
                CAST(avg(l_quantity) AS FLOAT) AS avg_qty,
                count(*) AS count_order
         FROM prop_li
@@ -100,7 +103,7 @@ def test_streaming_source_equals_batch(spark, sf_dir):
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").cast("float").alias("total_value"),
+            F.sum(dec2("value")).cast("double").cast("float").alias("total_value"),
         )
         .orderBy("event_type")
         .collect()
