@@ -26,7 +26,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     agrees with the cosine ranking metric — for unit vectors
     ‖a−b‖² = 2−2cos, so k-means on the sphere clusters by angle) →
     assign vectors to cells → probe search joins each probe only
-    against its 3 nearest centroid cells (nprobe=3) → top-3 by
+    against its 4 nearest centroid cells (nprobe=4) → top-3 by
     cosine. Rows-only: centroid positions depend on the trainer;
     recall validated against llm_sim_bruteforce ground truth
     (test_ivf_recall_floor). The scale story is the shape: search
@@ -36,9 +36,12 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tuning, measured against brute force: the corpus has 10 natural
     clusters (label structure), and k=8 cells straddled them —
     recall@3 at sf0.01 was 0.47 (k=8, nprobe=2) vs 0.80 (k=10,
-    nprobe=3); sf0.001 goes 0.80 → 0.87. Rule at scale: pick k near
-    the corpus's cluster count (or sqrt(N) for unstructured corpora)
-    and spend nprobe, not k, for recall."""
+    nprobe=3). The sf0.1 corpus is denser and less separable
+    (recall@3: 0.63 @ nprobe=3, 0.73 @ nprobe=4, 0.85 @ nprobe=5),
+    so the shipped setting is nprobe=4 — ≥0.73 at every fixture
+    scale. Rule at scale: pick k near the corpus's cluster count (or
+    sqrt(N) for unstructured corpora) and spend nprobe, not k, for
+    recall."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -66,7 +69,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", F.lit(1.0)
     )
 
-    # nprobe=3: each probe searches its 3 nearest centroid cells —
+    # nprobe=4: each probe searches its 4 nearest centroid cells —
     # the standard IVF recall/cost knob.
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
@@ -87,7 +90,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_vecs.crossJoin(F.broadcast(centroids))
         .withColumn("cdist", d2)
         .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= 3)
+        .filter(F.col("crn") <= 4)
         .select("probe_id", "pe", "pnrm", "cell")
     )
     scored = (
