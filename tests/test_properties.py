@@ -280,3 +280,28 @@ def test_shingles_short_docs_match_duckdb(spark, duck, sf_dir):
     }
     assert got == want
     assert got[1] == [] and got[2] == []  # sub-k docs are empty, not garbage
+
+
+def test_no_single_partition_windows(spark, sf_dir):
+    """Registry-wide scale guard #2: no registered batch query may plan
+    a Window over an Exchange SinglePartition — an unpartitioned
+    `Window.orderBy(...)` serializes the whole dataset through one
+    task (the exact bottleneck removed from llm_dedup_ngram_jaccard's
+    gram-id assignment). The check is coarse (plan contains BOTH a
+    SinglePartition exchange AND a Window node) but currently zero
+    queries trip it; extend with an allowlist if a future query
+    legitimately needs both."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name in sorted(R):
+        if name.startswith(("stream_", "source_stream", "sink_stream")):
+            continue
+        plan = R[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        if "Exchange SinglePartition" in plan and "Window" in plan:
+            offenders.append(name)
+    assert not offenders, f"single-partition window leaked into: {offenders}"
