@@ -1,0 +1,37 @@
+"""Full driver simulation: EVERY queries() entry at sf0.01 on a vanilla
+SparkSession (no tuned confs), compared to its oracle_sql() via DuckDB
+with the driver-style exact comparator. Rows-only queries are executed
+and schema-checked. This is the strongest local approximation of the
+round driver's t2 gate."""
+import importlib.util, sys, time
+sys.path.insert(0, "/root/repo")
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+df = mod.entry(spark); assert len(df.collect()) > 0
+q = mod.queries(); oracles = mod.oracle_sql()
+import duckdb
+sf = "/root/testdata/sf0.01"
+duck = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+from tests.parity import assert_frames_match
+n_match = n_rowsonly = 0
+fails = []
+t0 = time.time()
+for name in sorted(q):
+    try:
+        spdf = q[name](spark, sf).toPandas()
+        if name in oracles and oracles[name]:
+            assert_frames_match(spdf, duck.execute(oracles[name]).df(), name)
+            n_match += 1
+        else:
+            assert len(spdf.columns) > 0
+            n_rowsonly += 1
+    except Exception as e:
+        fails.append((name, str(e)[:200]))
+print(f"FULL DRIVER-SIM: {n_match} hash-match + {n_rowsonly} rows-only "
+      f"of {len(q)} | fails={len(fails)} | {round(time.time()-t0,1)}s")
+for f in fails: print("FAIL:", f)
