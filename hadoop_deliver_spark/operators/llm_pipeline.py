@@ -364,3 +364,52 @@ def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "delivery_profile",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_flags,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           CAST(min(l_extendedprice) AS REAL) AS min_price,
+           CAST(max(l_extendedprice) AS REAL) AS max_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS REAL) AS sum_price,
+           count(DISTINCT l_returnflag) AS n_flags,
+           count(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    """,
+)
+def delivery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile for a delivery manifest (the ANALYZE-before-ship
+    step): row count, key cardinalities, null counts, value ranges and
+    an exact money total, in ONE pass over the table. Everything is a
+    partial→final aggregate — at 100 TB this is a single scan + one
+    1-row-per-partition shuffle; the two exact count_distincts expand
+    to a two-phase distinct agg (swap in approx_count_distinct when the
+    profile tolerates ±2%, as agg_approx_count_distinct demonstrates)."""
+    from hadoop_deliver_spark.tables import dec2
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias(
+            "null_flags"
+        ),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_extendedprice").cast("float").alias("min_price"),
+        F.max("l_extendedprice").cast("float").alias("max_price"),
+        F.sum(dec2("l_extendedprice")).cast("double").cast("float").alias(
+            "sum_price"
+        ),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+        F.count_distinct("l_linestatus").alias("n_statuses"),
+    )
