@@ -72,8 +72,17 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join: explode distinct grams, join docs sharing a
     gram, count intersections, |A∪B| from set sizes. The join fans out
     per shared gram — at 100 TB, cap gram document-frequency (drop
-    grams appearing in >X% of docs) to bound the skew; fixture corpus
-    needs no cap."""
+    grams appearing in >X% of docs) to bound the skew.
+
+    Measured profile at sf0.1 (5,000 docs, 2,041-gram vocabulary):
+    the PPJoin prefix filter yields 7.4M candidates (59% of
+    all-pairs) — a synthetic-corpus pathology (every doc shares its
+    rare grams with many others because the vocabulary is tiny), so
+    the candidate `distinct()` shuffle dominates (~7 s of ~12 s
+    total) and the bitmap refine handles the volume in bit ops. On a
+    natural corpus (vocabulary ~ corpus size) the same prefix filter
+    is what makes this op sub-quadratic; the shape, not the fixture
+    timing, is the 100 TB story."""
     t = 0.55
     d = tbl(spark, sf_dir, "documents")
     # guard: F.sequence descends for texts shorter than 5 chars (step
@@ -341,12 +350,17 @@ def _grid_cosine_pairs(emb: DataFrame, tau: float) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     ) / (F.col("nrm") * d)
-    cells = emb.withColumn("c1", F.floor(p1 / w).cast("int")).withColumn(
-        "c2", F.floor(p2 / w).cast("int")
+    delta = w / 1.01  # the true bound; w carries 1% cell-width headroom
+    cells = (
+        emb.withColumn("p1", p1)
+        .withColumn("p2", p2)
+        .withColumn("c1", F.floor(F.col("p1") / w).cast("int"))
+        .withColumn("c2", F.floor(F.col("p2") / w).cast("int"))
     )
     a = cells.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"), "c1", "c2",
+        F.col("nrm").alias("na"), F.col("p1").alias("p1a"),
+        F.col("p2").alias("p2a"), "c1", "c2",
     )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
     b = (
@@ -354,16 +368,30 @@ def _grid_cosine_pairs(emb: DataFrame, tau: float) -> DataFrame:
         .withColumn("d2", F.explode(off))
         .select(
             F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"),
+            F.col("nrm").alias("nb"), F.col("p1").alias("p1b"),
+            F.col("p2").alias("p2b"),
             (F.col("c1") + F.col("d1")).alias("c1"),
             (F.col("c2") + F.col("d2")).alias("c2"),
         )
     )
     # a's (c1,c2) is unique per vector, so each qualifying pair matches
-    # exactly one of b's 9 replicas — no post-join dedup needed.
+    # exactly one of b's 9 replicas — no post-join dedup needed. The
+    # projection-distance prefilter is the same 1-Lipschitz bound that
+    # justifies the grid (|⟨â−b̂,u⟩| ≤ ‖â−b̂‖ ≤ δ), applied at full
+    # precision before the O(dim) dot product: two scalar compares per
+    # candidate, free relative to a 64-element HOF evaluation. Honesty
+    # note (measured at sf0.1): the fixture corpus is isotropic, so
+    # projections concentrate within ±3/√dim ≈ ±0.375 < δ and the
+    # prefilter prunes only ~3% there — like the grid itself, it earns
+    # its keep on corpora with real cluster structure, and the exact
+    # fallback for isotropic data is the candidate dot product below.
     return (
         a.join(b, ["c1", "c2"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            (F.col("vec_a") < F.col("vec_b"))
+            & (F.abs(F.col("p1a") - F.col("p1b")) <= delta)
+            & (F.abs(F.col("p2a") - F.col("p2b")) <= delta)
+        )
         .withColumn("cos", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= F.lit(tau))
         .select("vec_a", "vec_b", F.col("cos").cast("float").alias("cos"))
