@@ -26,6 +26,14 @@ from hadoop_deliver_spark.tables import tbl
 _R = 4
 
 
+def joined_str(col):
+    """Canonical array→string surface for the driver's hasher: cast
+    elements to string, comma-join. Shared by every query that returns
+    array-shaped results so the canonicalization cannot diverge
+    between them (or their oracles)."""
+    return F.array_join(col.cast("array<string>"), ",")
+
+
 @register(
     "fn_string_basic",
     """
@@ -330,9 +338,6 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves are unchanged underneath."""
     p = tbl(spark, sf_dir, "part")
 
-    def joined_str(col):
-        return F.array_join(col.cast("array<string>"), ",")
-
     t = p.select(
         "p_partkey",
         F.array(
@@ -387,9 +392,6 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes via list_filter) and comma-joined to strings so
     the driver's hasher can verify them; set-op logic unchanged."""
     p = tbl(spark, sf_dir, "part")
-
-    def joined_str(col):
-        return F.array_join(col.cast("array<string>"), ",")
 
     t = p.select(
         "p_partkey",

@@ -317,50 +317,48 @@ def llm_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     ),
-    scaled AS (
+    tot AS (
         SELECT *,
-               sqrt(CAST(n_tokens AS DOUBLE)) AS raw
+               CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
         FROM per_source
     )
     SELECT source, n_docs, n_tokens,
-           CAST(CAST(n_tokens AS DOUBLE)
-                / sum(CAST(n_tokens AS DOUBLE))
-                      OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND UNBOUNDED FOLLOWING) AS REAL) AS token_share,
-           CAST(raw / sum(raw) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
-                                     PRECEDING AND UNBOUNDED FOLLOWING)
+           CAST(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                AS REAL) AS token_share,
+           CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
                 AS REAL) AS weight
-    FROM scaled ORDER BY source
+    FROM tot ORDER BY source
     """,
 )
 def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing weights with temperature rebalancing: per-source
-    token counts → sampling weight ∝ share^(1/2) (temperature τ=2 in
+    token share and sampling weight ∝ share^(1/2) (temperature τ=2 in
     the multinomial-sampling formulation used for multilingual/
     multi-source training mixes — upweights small sources, downweights
-    the head). The per-source aggregate is one shuffle; the
-    normalization is a 20-row window, evaluated in the same explicit
-    ORDER BY source frame on both engines so the float sums are
-    order-identical and the float32 outputs hash-match exactly."""
+    the head; the trainer normalizes the weights to a distribution).
+    Cross-engine determinism by construction: the only cross-row sum
+    is the INTEGER token total (exact under any summation order — a
+    float window-sum of the irrational sqrt values would re-introduce
+    the last-ulp drift the dec2 convention exists to kill), and
+    share/weight are then per-row IEEE ops on identical inputs. The
+    per-source aggregate is one shuffle; the total is a ~20-row
+    window."""
     d = tbl(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
     )
-    w = (
-        Window.orderBy("source")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = Window.partitionBy()  # whole-frame integer total: order-free, exact
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast(
+        "double"
     )
-    raw = F.sqrt(F.col("n_tokens").cast("double"))
     return (
         per_source.select(
             "source",
             "n_docs",
             "n_tokens",
-            (F.col("n_tokens").cast("double") / F.sum(F.col("n_tokens").cast("double")).over(w))
-            .cast("float")
-            .alias("token_share"),
-            (raw / F.sum(raw).over(w)).cast("float").alias("weight"),
+            share.cast("float").alias("token_share"),
+            F.sqrt(share).cast("float").alias("weight"),
         )
         .orderBy("source")
     )

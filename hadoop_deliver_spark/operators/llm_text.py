@@ -158,8 +158,10 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g", "gid")
     )
+    # max() over an empty gram table (every doc shorter than the gram
+    # width) is None — degrade to one empty chunk instead of crashing.
     max_gid = gid.agg(F.max("gid")).first()[0]
-    n_chunks = (max_gid + 64) // 64
+    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
     chunks = (
         inv.join(F.broadcast(gid), "g")
         .withColumn("c", (F.col("gid") / 64).cast("int"))
@@ -336,8 +338,12 @@ def _grid_cosine_pairs(emb: DataFrame, tau: float) -> DataFrame:
 
     from hadoop_deliver_spark.operators.llm import _dot, _norm
 
-    # cell width ≥ δ = sqrt(2 − 2τ); 1% headroom over the bound
-    w = math.sqrt(max(2.0 - 2.0 * tau, 1e-12)) * 1.01
+    # δ is the exact 1-Lipschitz bound; the cell width carries 1%
+    # headroom ON TOP of it. Compute δ first and derive w from it —
+    # the other direction (w/1.01) does not round-trip in float64 and
+    # could leave the prefilter an ulp BELOW the true bound.
+    delta = math.sqrt(max(2.0 - 2.0 * tau, 1e-12))
+    w = delta * 1.01
     emb = emb.withColumn("nrm", _norm("e"))
     d = F.sqrt(F.size("e").cast("double"))
     # two fixed unit directions: all-ones/√d and alternating ±1/√d
@@ -350,7 +356,6 @@ def _grid_cosine_pairs(emb: DataFrame, tau: float) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     ) / (F.col("nrm") * d)
-    delta = w / 1.01  # the true bound; w carries 1% cell-width headroom
     cells = (
         emb.withColumn("p1", p1)
         .withColumn("p2", p2)

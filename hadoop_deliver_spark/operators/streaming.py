@@ -398,7 +398,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     the initial watermark governs input filtering, which is why the
     demonstration needs two runs.)"""
     from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
-    from hadoop_deliver_spark.tables import dec2, prepare_session
+    from hadoop_deliver_spark.tables import prepare_session
 
     prepare_session(spark)
     staged = _two_batch_staging(spark, sf_dir)
@@ -490,7 +490,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
-    from hadoop_deliver_spark.tables import dec2, prepare_session
+    from hadoop_deliver_spark.tables import prepare_session
 
     prepare_session(spark)
     src = _stage_dir(sf_dir, "events_stream_src4")

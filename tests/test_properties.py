@@ -175,15 +175,54 @@ def test_plan_shapes(spark, sf_dir):
 
 # Queries whose plans legitimately contain a nested-loop join node:
 # either the operator IS a cross/theta join by spec, or the build side
-# is a tiny broadcast (probe set, 8 centroids, 1-row bounds) so the
+# is a tiny broadcast (probe set, 10 centroids, 1-row bounds) so the
 # nested loop is a single pass over the big side — the correct shape.
 _NESTED_LOOP_OK = {
     "join_cross",          # cross join by spec
     "join_theta_range",    # non-equi theta join by spec
     "llm_sim_bruteforce",  # broadcast probe set × base scan (one pass)
-    "llm_sim_ivf",         # 8-row centroid table broadcast
+    "llm_sim_ivf",         # 10-row centroid table broadcast
     "ts_resample_gapfill", # 1-row min/max bounds broadcast for the grid
 }
+
+# Queries whose plans legitimately contain BOTH a SinglePartition
+# exchange and a Window node. The check below is plan-wide (it cannot
+# tell whether the Window sits ON the single partition), so 1-row
+# global aggregates elsewhere in the plan also land here.
+_SINGLE_PARTITION_WINDOW_OK = {
+    # global ntile by spec; docstring documents the percentile_approx +
+    # broadcast-range-lookup variant as the 100 TB path
+    "llm_doc_length_bucket",
+    # the window runs over the ~20-row per-source aggregate, not the
+    # corpus; single partition is the right plan for 20 rows
+    "llm_mix_weights",
+    # the SinglePartition exchange is the 1-row bounds aggregate; the
+    # LOCF window itself partitions on the series key
+    "ts_resample_gapfill",
+}
+
+_plan_cache: dict[str, str] = {}
+
+
+def _registry_plans(spark, sf_dir):
+    """name → formatted plan for every batch query, built once per
+    session: the registry fns execute real work at call time (KMeans
+    fits, candidate-stage actions, sink writes), so the two plan-shape
+    sweeps below must not each pay that cost."""
+    if not _plan_cache:
+        from hadoop_deliver_spark.registry import load_all
+
+        R = load_all()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        for name in sorted(R):
+            if name.startswith(("stream_", "source_stream", "sink_stream")):
+                continue  # streaming: result plan is the memory-sink scan
+            _plan_cache[name] = (
+                R[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+            )
+    return _plan_cache
 
 
 def test_no_accidental_nested_loop_joins(spark, sf_dir):
@@ -194,21 +233,12 @@ def test_no_accidental_nested_loop_joins(spark, sf_dir):
     llm_dedup_ngram_jaccard hash gram ids) — a regression to an
     all-pairs theta join fails here even though fixture-scale parity
     would still pass."""
-    from hadoop_deliver_spark.registry import load_all
-
-    R = load_all()
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    offenders = []
-    for name in sorted(R):
-        if name.startswith(("stream_", "source_stream", "sink_stream")):
-            continue  # streaming: result plan is the memory-sink scan
-        if name in _NESTED_LOOP_OK:
-            continue
-        plan = R[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-            offenders.append(name)
+    offenders = [
+        name
+        for name, plan in _registry_plans(spark, sf_dir).items()
+        if name not in _NESTED_LOOP_OK
+        and ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+    ]
     assert not offenders, f"nested-loop join leaked into: {offenders}"
 
 
@@ -284,24 +314,19 @@ def test_shingles_short_docs_match_duckdb(spark, duck, sf_dir):
 
 def test_no_single_partition_windows(spark, sf_dir):
     """Registry-wide scale guard #2: no registered batch query may plan
-    a Window over an Exchange SinglePartition — an unpartitioned
-    `Window.orderBy(...)` serializes the whole dataset through one
-    task (the exact bottleneck removed from llm_dedup_ngram_jaccard's
-    gram-id assignment). The check is coarse (plan contains BOTH a
-    SinglePartition exchange AND a Window node) but currently zero
-    queries trip it; extend with an allowlist if a future query
-    legitimately needs both."""
-    from hadoop_deliver_spark.registry import load_all
-
-    R = load_all()
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    offenders = []
-    for name in sorted(R):
-        if name.startswith(("stream_", "source_stream", "sink_stream")):
-            continue
-        plan = R[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
-        if "Exchange SinglePartition" in plan and "Window" in plan:
-            offenders.append(name)
+    a Window alongside a SinglePartition exchange outside the
+    documented allowlist — an unpartitioned `Window.orderBy(...)`
+    serializes the whole dataset through one task (the exact bottleneck
+    removed from llm_dedup_ngram_jaccard's gram-id assignment).
+    Detection note: formatted explain prints the node name and its
+    `Arguments: SinglePartition` on SEPARATE lines, so the two strings
+    are matched independently — a contiguous "Exchange SinglePartition"
+    substring check never fires and would make this test vacuous (it
+    did, in its first version)."""
+    offenders = [
+        name
+        for name, plan in _registry_plans(spark, sf_dir).items()
+        if name not in _SINGLE_PARTITION_WINDOW_OK
+        and ("SinglePartition" in plan and "Window" in plan)
+    ]
     assert not offenders, f"single-partition window leaked into: {offenders}"
