@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_deliver_spark.registry import register
-from hadoop_deliver_spark.tables import dec2, tbl
+from hadoop_deliver_spark.tables import dec2, joined_str, tbl
 
 _R = 4  # float rounding decimals, mirrored in every oracle
 
@@ -227,16 +227,13 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
-                "nations"
-            ),
-            F.array_join(
+            joined_str(F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            joined_str(
                 F.array_sort(
                     F.collect_set(
                         (F.col("n_regionkey") + F.col("n_nationkey")).cast("long")
                     )
-                ).cast("array<string>"),
-                ",",
+                )
             ).alias("key_set"),
         )
         .orderBy("n_regionkey")

@@ -21,17 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_deliver_spark.registry import register
-from hadoop_deliver_spark.tables import tbl
+from hadoop_deliver_spark.tables import joined_str, tbl
 
 _R = 4
-
-
-def joined_str(col):
-    """Canonical array→string surface for the driver's hasher: cast
-    elements to string, comma-join. Shared by every query that returns
-    array-shaped results so the canonicalization cannot diverge
-    between them (or their oracles)."""
-    return F.array_join(col.cast("array<string>"), ",")
 
 
 @register(

@@ -77,3 +77,12 @@ def dec2(col):
     don't need it — integer sums below 2^53 are already exact."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("decimal(18,2)")
+
+
+def joined_str(col):
+    """Canonical array→string surface for the driver's hasher: cast
+    elements to string, comma-join. Shared by every query that returns
+    array-shaped results (agg_collect, fn_array_basic, fn_array_setops)
+    so the canonicalization cannot diverge between them or their
+    oracles."""
+    return F.array_join(col.cast("array<string>"), ",")

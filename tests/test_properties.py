@@ -216,12 +216,16 @@ def _registry_plans(spark, sf_dir):
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
+        built = {}  # populate locally, publish only on full success —
+        # a mid-sweep exception must not leave a partial cache that the
+        # second guard test would silently accept as the full registry
         for name in sorted(R):
             if name.startswith(("stream_", "source_stream", "sink_stream")):
                 continue  # streaming: result plan is the memory-sink scan
-            _plan_cache[name] = (
+            built[name] = (
                 R[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
             )
+        _plan_cache.update(built)
     return _plan_cache
 
 
