@@ -334,3 +334,29 @@ def test_no_single_partition_windows(spark, sf_dir):
         and ("SinglePartition" in plan and "Window" in plan)
     ]
     assert not offenders, f"single-partition window leaked into: {offenders}"
+
+
+def test_funnel_monotone_and_retention_day0(spark, sf_dir):
+    """Structural invariants of the analytics ops: funnel stage counts
+    must be non-increasing (a user cannot convert a later stage
+    without the earlier one), and retention day-0 actives must equal
+    each cohort's size (every user is active on their first-seen
+    day)."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    f = R["events_funnel"].fn(spark, sf_dir).collect()[0]
+    assert f.n_view >= f.n_view_click >= f.n_view_click_purchase >= 0
+
+    ret = R["events_retention"].fn(spark, sf_dir).toPandas()
+    ev = tbl(spark, sf_dir, "events")
+    cohort_sizes = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .count()
+        .toPandas()
+    )
+    day0 = ret[ret.day_offset == 0][["cohort_day", "n_active"]]
+    merged = day0.merge(cohort_sizes, on="cohort_day", how="outer")
+    assert (merged.n_active == merged["count"]).all()
