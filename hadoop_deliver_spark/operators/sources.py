@@ -22,6 +22,9 @@ the reference genre's single-file `getmerge` delivery step.
 
 from __future__ import annotations
 
+import functools
+import glob
+import hashlib
 import itertools
 import os
 import shutil
@@ -35,15 +38,22 @@ from hadoop_deliver_spark.tables import dec2, tbl
 _STAGE = "/tmp/hds_stage"
 _counter = itertools.count()
 
-EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
+@functools.lru_cache(maxsize=None)
+def _fixture_tag(sf_dir: str) -> str:
+    """Fingerprint of the fixture generation (name/size/mtime of every
+    parquet in sf_dir). Baked into the stage path so a driver-side
+    fixture regeneration (e.g. the ts dtype change between rounds)
+    can never be served a stale staged copy."""
+    h = hashlib.sha1(b"stage-format-v2;")  # bump when staged layout/dtypes change
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:10]
 
 
 def _stage_dir(sf_dir: str, leaf: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_STAGE, tag, leaf)
+    return os.path.join(_STAGE, f"{tag}-{_fixture_tag(sf_dir)}", leaf)
 
 
 def _ensure_staged(df: DataFrame, path: str, fmt: str, **options) -> str:
@@ -247,18 +257,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental file source over the events fixture. The file
     source wants a *directory* it can discover files in (that is the
     whole replay/backlog model), so the single-file fixture is staged
-    into one once; ts stays int64-nanos through the staging write and
-    gets the same µs-truncation shim as the batch loader."""
-    from hadoop_deliver_spark.tables import prepare_session
-
-    prepare_session(spark)
+    into one once — through the batch loader, so ts is already a
+    normalized timestamp whatever the fixture generation — and read
+    back with the staged files' own schema."""
     stage = _ensure_staged(
-        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        tbl(spark, sf_dir, "events"),
         _stage_dir(sf_dir, "events_stream_src"),
         "parquet",
     )
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(stage).schema
+    return spark.readStream.schema(schema).format("parquet").load(stage)
 
 
 @register(

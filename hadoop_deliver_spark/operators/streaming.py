@@ -344,13 +344,21 @@ def _two_batch_staging(spark: SparkSession, sf_dir: str) -> str:
         return out
     os.makedirs(out, exist_ok=True)
     t = pq.read_table(f"{sf_dir}/events.parquet")
-    ts_ns = pc.cast(t["ts"], pa.int64())
-    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_ns)
-    cutoff = int(
-        datetime(2024, 1, 8, tzinfo=timezone.utc).timestamp() * 1_000_000_000
-    )
+    if pa.types.is_integer(t["ts"].type):
+        # Legacy fixture generation: int64 ns → µs-truncated timestamp
+        # (newer generations store timestamp[us] directly).
+        ts_us = pc.cast(pc.divide(t["ts"], 1000), pa.timestamp("us"))
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    # Write UTC-adjusted timestamps so Spark decodes TimestampType
+    # (LTZ) — naive µs would come back NTZ, which watermarks reject.
+    ts_utc = pc.assume_timezone(
+        pc.cast(t["ts"], pa.timestamp("us")), "UTC"
+    ) if t["ts"].type.tz is None else pc.cast(t["ts"], pa.timestamp("us", "UTC"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_utc)
+    cutoff = pa.scalar(datetime(2024, 1, 8, tzinfo=timezone.utc),
+                       pa.timestamp("us", "UTC"))
     held_back = pc.and_(
-        pc.less(t["ts"], pa.scalar(cutoff, pa.int64())),
+        pc.less(t["ts"], cutoff),
         pc.equal(pc.bit_wise_and(t["event_id"], pa.scalar(3, pa.int64())),
                  pa.scalar(0, pa.int64())),
     )
@@ -397,7 +405,6 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed value at run start; within a single availableNow run
     the initial watermark governs input filtering, which is why the
     demonstration needs two runs.)"""
-    from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
     from hadoop_deliver_spark.tables import prepare_session
 
     prepare_session(spark)
@@ -409,14 +416,14 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, cp, out):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src)
+    schema = spark.read.parquet(os.path.join(staged, "a_main.parquet")).schema
 
     def run_once():
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        ev = (
+            spark.readStream.schema(schema)
             .format("parquet")
             .load(src)
         )
-        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         agg = (
             ev.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour"))
@@ -489,25 +496,22 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the batch oracle checks."""
     from pyspark.sql import Window
 
-    from hadoop_deliver_spark.operators.sources import EVENTS_RAW_SCHEMA
-    from hadoop_deliver_spark.tables import prepare_session
+    from hadoop_deliver_spark.tables import tbl
 
-    prepare_session(spark)
     src = _stage_dir(sf_dir, "events_stream_src4")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
+            tbl(spark, sf_dir, "events")
             .repartition(4)
             .write.mode("overwrite")
             .parquet(src)
         )
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    ev = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(src)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     n = next(_counter)
     state = _stage_dir(sf_dir, f"upsert_state_{n}")

@@ -1,13 +1,16 @@
 """Fixture table loader.
 
 All queries read the driver-generated parquet fixtures at
-``{sf_dir}/{table}.parquet`` (see TESTDATA.md / FIXTURES.md). The one
-ingestion quirk: ``events.ts`` is parquet TIMESTAMP(NANOS), which
-PySpark 4.x cannot decode natively. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
-nanoseconds; ``timestamp_micros(ts div 1000)`` converts by *integer*
-µs truncation — bit-exact with DuckDB's native ns→µs cast (a
-float ``/1e9`` division would drift by ~0.5 µs at 2024 epochs).
+``{sf_dir}/{table}.parquet`` (see TESTDATA.md / FIXTURES.md). One
+ingestion quirk, now generation-dependent: early fixture rounds wrote
+``events.ts`` as parquet TIMESTAMP(NANOS), which PySpark 4.x cannot
+decode natively — with ``spark.sql.legacy.parquet.nanosAsLong=true``
+it arrives as int64 nanoseconds and ``timestamp_micros(ts div 1000)``
+converts by *integer* µs truncation (bit-exact with DuckDB's native
+ns→µs cast; a float ``/1e9`` division would drift by ~0.5 µs at 2024
+epochs). Current fixtures write TIMESTAMP(MICROS) which decodes
+natively as TIMESTAMP_NTZ; the shim is applied only when the column
+actually arrives as int64.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -56,8 +60,19 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # int64-nanos → µs-truncated timestamp (exact integer math).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # Legacy fixture generation: TIMESTAMP(NANOS) arrives as
+            # int64 ns under nanosAsLong; ns → µs-truncated timestamp
+            # via exact integer math (a float /1e9 would drift ~0.5 µs).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Current generation: TIMESTAMP(MICROS) decodes as NTZ.
+            # Streaming watermarks and epoch functions require
+            # TimestampType; with the session pinned to UTC this cast
+            # reinterprets the same wall-clock instant losslessly, so
+            # every downstream query sees the dtype prior rounds saw.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
