@@ -7,6 +7,7 @@ Importing this package registers every query into
 from hadoop_deliver_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    dq,
     extras,
     functions,
     joins,
@@ -19,6 +20,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     sorts,
     sources,
     streaming,
+    timeseries,
     udfs,
     windows,
 )

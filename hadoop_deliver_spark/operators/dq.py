@@ -1,0 +1,158 @@
+"""§2.K extensions, fourth wave — data-quality constraint checking.
+
+A delivery pipeline gates every dataset hand-off on a constraint
+sweep: primary-key uniqueness, foreign-key integrity, null and range
+rules. These are exactly the checks a 100 TB training-data refresh
+runs before publishing a snapshot, so the engine ships them as a
+first-class operator rather than ad-hoc notebook SQL.
+
+Shape at scale: each check is either a single-pass aggregate (null /
+range / uniqueness via count vs count-distinct) or a shuffle
+anti-join on the FK key (orphan detection). The per-check results are
+one row each, so the final union is trivially small; the expensive
+part parallelizes exactly like the joins/aggregates it is built from.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+
+@register(
+    "dq_constraints",
+    """
+    WITH checks AS (
+      SELECT 'orders.o_orderkey unique' AS check_name,
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                 AS n_violations
+      UNION ALL
+      SELECT 'customer.c_custkey unique',
+             (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+      UNION ALL
+      SELECT 'orders.o_custkey fk customer',
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'lineitem.l_orderkey fk orders',
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'orders.o_totalprice positive',
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+      UNION ALL
+      SELECT 'lineitem.l_discount in [0, 0.1]',
+             (SELECT count(*) FROM lineitem
+              WHERE l_discount IS NULL
+                 OR l_discount < 0 OR l_discount > 0.1)
+      UNION ALL
+      SELECT 'lineitem.l_quantity in [1, 50]',
+             (SELECT count(*) FROM lineitem
+              WHERE l_quantity IS NULL
+                 OR l_quantity < 1 OR l_quantity > 50)
+      UNION ALL
+      SELECT 'events.user_id not null',
+             (SELECT count(*) FROM events WHERE user_id IS NULL)
+      UNION ALL
+      SELECT 'documents.n_chars = len(text)',
+             (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+    )
+    SELECT check_name, n_violations, n_violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+    tags=("quality", "delivery"),
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint sweep over the star schema + pipeline tables: PK
+    uniqueness, FK orphans (anti-join), positivity/range rules, and a
+    derived-column consistency check (documents.n_chars). Returns one
+    row per check with its violation count — the dataset publishes
+    only when every `passed` is true. Uniqueness is count minus
+    count-distinct (one aggregate, no self-join); FK orphans are
+    left-anti joins that shuffle on the key like any equi-join."""
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    lineitem = tbl(spark, sf_dir, "lineitem")
+    events = tbl(spark, sf_dir, "events")
+    documents = tbl(spark, sf_dir, "documents")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        # df is a global aggregate — exactly one row, `n` never null.
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders.o_orderkey unique",
+            orders.agg(
+                (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n")
+            ),
+        ),
+        one(
+            "customer.c_custkey unique",
+            customer.agg(
+                (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("n")
+            ),
+        ),
+        one(
+            "orders.o_custkey fk customer",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem.l_orderkey fk orders",
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "orders.o_totalprice positive",
+            orders.filter(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem.l_discount in [0, 0.1]",
+            lineitem.filter(
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem.l_quantity in [1, 50]",
+            lineitem.filter(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "events.user_id not null",
+            events.filter(F.col("user_id").isNull()).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        one(
+            "documents.n_chars = len(text)",
+            documents.filter(F.col("n_chars") != F.length("text")).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+    ]
+    return (
+        reduce(DataFrame.unionByName, checks)
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("check_name")
+    )
