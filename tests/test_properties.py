@@ -183,6 +183,7 @@ _NESTED_LOOP_OK = {
     "llm_sim_bruteforce",  # broadcast probe set × base scan (one pass)
     "llm_sim_ivf",         # 10-row centroid table broadcast
     "ts_resample_gapfill", # 1-row min/max bounds broadcast for the grid
+    "ts_interpolate_linear",  # same 1-row bounds broadcast as gapfill
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -199,6 +200,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition exchange is the 1-row bounds aggregate; the
     # LOCF window itself partitions on the series key
     "ts_resample_gapfill",
+    # same 1-row bounds aggregate; both interpolation windows partition
+    # on event_type
+    "ts_interpolate_linear",
 }
 
 _plan_cache: dict[str, str] = {}
