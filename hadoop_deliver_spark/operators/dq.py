@@ -75,80 +75,88 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniqueness, FK orphans (anti-join), positivity/range rules, and a
     derived-column consistency check (documents.n_chars). Returns one
     row per check with its violation count — the dataset publishes
-    only when every `passed` is true. Uniqueness is count minus
-    count-distinct (one aggregate, no self-join); FK orphans are
-    left-anti joins that shuffle on the key like any equi-join."""
+    only when every `passed` is true. All non-join checks for a table
+    ride ONE conditional-aggregate scan of it (5 scans total, not one
+    per check — the difference between 5 and 9 full passes at 100 TB);
+    uniqueness is count minus count-distinct (no self-join); FK
+    orphans are left-anti joins that shuffle on the key like any
+    equi-join."""
     orders = tbl(spark, sf_dir, "orders")
     customer = tbl(spark, sf_dir, "customer")
     lineitem = tbl(spark, sf_dir, "lineitem")
     events = tbl(spark, sf_dir, "events")
     documents = tbl(spark, sf_dir, "documents")
 
-    def one(name: str, df: DataFrame) -> DataFrame:
-        # df is a global aggregate — exactly one row, `n` never null.
-        return df.select(
-            F.lit(name).alias("check_name"),
-            F.col("n").alias("n_violations"),
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def unpivot(df_agg: DataFrame, names: list[str]) -> DataFrame:
+        # df_agg: one row whose columns c0..cN hold the violation
+        # counts; stack() unpivots to (check_name, n_violations) rows
+        # so every per-table check rides ONE scan of that table.
+        pairs = ", ".join(
+            f"'{n}', c{i}" for i, n in enumerate(names)
+        )
+        return df_agg.select(
+            F.expr(
+                f"stack({len(names)}, {pairs}) AS (check_name, n_violations)"
+            )
         )
 
     checks = [
-        one(
-            "orders.o_orderkey unique",
+        unpivot(
             orders.agg(
-                (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n")
+                (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("c0"),
+                viol(
+                    F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+                ).alias("c1"),
             ),
+            ["orders.o_orderkey unique", "orders.o_totalprice positive"],
         ),
-        one(
-            "customer.c_custkey unique",
+        unpivot(
             customer.agg(
-                (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("n")
+                (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("c0")
             ),
+            ["customer.c_custkey unique"],
         ),
-        one(
-            "orders.o_custkey fk customer",
+        unpivot(
+            lineitem.agg(
+                viol(
+                    F.col("l_discount").isNull()
+                    | (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 0.1)
+                ).alias("c0"),
+                viol(
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 50)
+                ).alias("c1"),
+            ),
+            ["lineitem.l_discount in [0, 0.1]", "lineitem.l_quantity in [1, 50]"],
+        ),
+        unpivot(
+            events.agg(viol(F.col("user_id").isNull()).alias("c0")),
+            ["events.user_id not null"],
+        ),
+        unpivot(
+            documents.agg(
+                viol(F.col("n_chars") != F.length("text")).alias("c0")
+            ),
+            ["documents.n_chars = len(text)"],
+        ),
+        # FK orphan checks genuinely need the join; left_anti shuffles
+        # on the key like any equi-join and counts survivors.
+        unpivot(
             orders.join(
                 customer, orders.o_custkey == customer.c_custkey, "left_anti"
-            ).agg(F.count(F.lit(1)).alias("n")),
+            ).agg(F.count(F.lit(1)).alias("c0")),
+            ["orders.o_custkey fk customer"],
         ),
-        one(
-            "lineitem.l_orderkey fk orders",
+        unpivot(
             lineitem.join(
                 orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
-            ).agg(F.count(F.lit(1)).alias("n")),
-        ),
-        one(
-            "orders.o_totalprice positive",
-            orders.filter(
-                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
-            ).agg(F.count(F.lit(1)).alias("n")),
-        ),
-        one(
-            "lineitem.l_discount in [0, 0.1]",
-            lineitem.filter(
-                F.col("l_discount").isNull()
-                | (F.col("l_discount") < 0)
-                | (F.col("l_discount") > 0.1)
-            ).agg(F.count(F.lit(1)).alias("n")),
-        ),
-        one(
-            "lineitem.l_quantity in [1, 50]",
-            lineitem.filter(
-                F.col("l_quantity").isNull()
-                | (F.col("l_quantity") < 1)
-                | (F.col("l_quantity") > 50)
-            ).agg(F.count(F.lit(1)).alias("n")),
-        ),
-        one(
-            "events.user_id not null",
-            events.filter(F.col("user_id").isNull()).agg(
-                F.count(F.lit(1)).alias("n")
-            ),
-        ),
-        one(
-            "documents.n_chars = len(text)",
-            documents.filter(F.col("n_chars") != F.length("text")).agg(
-                F.count(F.lit(1)).alias("n")
-            ),
+            ).agg(F.count(F.lit(1)).alias("c0")),
+            ["lineitem.l_orderkey fk orders"],
         ),
     ]
     return (
