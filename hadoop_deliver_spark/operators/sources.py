@@ -391,3 +391,59 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register("scan_csv_gzip", "SELECT * FROM supplier")
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV scan — the reference genre's canonical
+    input (gzipped TSV/JSON-lines archives on HDFS). Spark picks the
+    codec from the `.csv.gz` extension on read; the roundtrip must
+    reproduce the table bit-exactly, same as scan_csv. Scale note:
+    gzip is NOT splittable — each .gz file is one task — so archive
+    layouts shard into many files (or recompress to zstd/parquet on
+    ingest, see sink_parquet_zstd); the fixture staging mirrors that
+    by writing one shard per input partition."""
+    path = _ensure_staged(
+        tbl(spark, sf_dir, "supplier"),
+        _stage_dir(sf_dir, "supplier_csv_gz"),
+        "csv",
+        header=True,
+        compression="gzip",
+    )
+    schema = (
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@register(
+    "sink_parquet_zstd",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd-compressed parquet delivery: the recompress-on-ingest
+    target for archival scans (splittable, columnar, ~gzip-level
+    ratios at much faster decode). The query re-reads its own output
+    and aggregates, proving the codec roundtrip; the write itself is
+    embarrassingly parallel (per-partition files, no shuffle)."""
+    out = _stage_dir(sf_dir, "orders_zstd")
+    (
+        tbl(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").cast("float").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
