@@ -460,3 +460,41 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
         "l_returnflag", "l_linestatus"
     )
+
+
+@register("agg_hll_sketch_merge", None)  # rows-only: Datasketches HLL is Spark-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB pre-aggregation
+    pattern exact count-distinct cannot give you: build one Apache
+    Datasketches HLL per (event_type, day) partial rollup, then
+    `hll_union_agg` the per-day sketches into per-type totals WITHOUT
+    rescanning the raw data. That re-aggregability (daily sketches →
+    monthly/total estimates) is why warehouses persist sketch columns
+    next to their rollups. Rows-only: the sketch encoding is
+    Spark/Datasketches-specific, so DuckDB cannot replay it; the query
+    instead surfaces both the merged estimate and the exact count, and
+    the test ring asserts the documented <3% error envelope.
+
+    Output: event_type, est_users (merged-sketch estimate),
+    exact_users, within_3pct."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .withColumn(
+            "within_3pct",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.03 * F.col("exact_users")
+            ),
+        )
+        .orderBy("event_type")
+    )

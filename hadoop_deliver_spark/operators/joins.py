@@ -389,6 +389,61 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    """
+    WITH probes AS (
+        SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS probe_ts
+        FROM events
+    ), ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT p.user_id, p.probe_ts, e.value AS next_value
+    FROM probes p
+    ASOF JOIN ev e ON e.user_id = p.user_id AND e.ts >= p.probe_ts
+    ORDER BY p.user_id, p.probe_ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each probe, the EARLIEST event value
+    at-or-after it (the look-ahead twin of join_asof — e.g. "next
+    reading after a deadline"). Same union+window shape mirrored:
+    probes sort *before* same-ts events, and `first(value ignorenulls)`
+    over [current, following] picks the next event. Still one shuffle,
+    O(1) state per key; the oracle is DuckDB's native ASOF JOIN with
+    the `>=` direction — an independent implementation."""
+    ev = tbl(spark, sf_dir, "events")
+    # dedup to one value per (user, ts) so both engines break ts ties identically
+    e = ev.groupBy("user_id", "ts").agg(F.max_by("value", "event_id").alias("value"))
+    probes = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("ts"))
+        .distinct()
+        .withColumn("is_probe", F.lit(1))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    tagged = e.withColumn("is_probe", F.lit(0)).select(
+        "user_id", "ts", "value", "is_probe"
+    )
+    unioned = tagged.unionByName(probes.select("user_id", "ts", "value", "is_probe"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_probe"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        unioned.withColumn("next_value", F.first("value", ignorenulls=True).over(w))
+        .filter((F.col("is_probe") == 1) & F.col("next_value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").alias("probe_ts"),
+            "next_value",
+        )
+        .orderBy("user_id", "probe_ts")
+    )
+
+
+@register(
     "join_self",
     """
     SELECT a.l_orderkey, count(*) AS n_pairs

@@ -447,3 +447,50 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN left(o_orderpriority, 1) END
+               AS o_channel,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total
+    FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet batches of orders where the
+    newer batch (odd keys) carries an added `o_channel` column, read
+    back with `mergeSchema=true` so old rows surface it as null — the
+    drift pattern every long-lived 100 TB dataset hits (columns added
+    mid-history, partitions never rewritten). The merge cost is
+    footer-only; data pages are untouched. The aggregate groups by the
+    evolved column to prove old/new rows coexist in one scan."""
+    out = _stage_dir(sf_dir, "orders_evolved")
+    if not os.path.exists(os.path.join(out, "v2", "_SUCCESS")):
+        orders = tbl(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "v1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumn("o_channel", F.substring("o_orderpriority", 1, 1))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "v2"))
+        )
+    evolved = (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "v1"), os.path.join(out, "v2"))
+    )
+    return (
+        evolved.groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").cast("float").alias("total"),
+        )
+        .orderBy(F.col("o_channel").asc_nulls_first())
+    )

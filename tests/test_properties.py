@@ -364,3 +364,29 @@ def test_funnel_monotone_and_retention_day0(spark, sf_dir):
     day0 = ret[ret.day_offset == 0][["cohort_day", "n_active"]]
     merged = day0.merge(cohort_sizes, on="cohort_day", how="outer")
     assert (merged.n_active == merged["count"]).all()
+
+
+def test_hll_sketch_error_envelope(spark, sf_dir):
+    """The merged-HLL estimate must land inside the documented 3%
+    envelope of the exact distinct count (lgK=12 gives ~0.8% relative
+    standard error, so 3% is ~4 sigma), and the sketch merge must be
+    re-aggregable: merging per-day sketches equals sketching the whole
+    stream for every event_type."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    out = R["agg_hll_sketch_merge"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert out.within_3pct.all(), out.to_dict("records")
+    ev = tbl(spark, sf_dir, "events")
+    direct = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).cast("long").alias("direct_est")
+        )
+        .toPandas()
+    )
+    merged = out.merge(direct, on="event_type")
+    assert (merged.est_users == merged.direct_est).all()
