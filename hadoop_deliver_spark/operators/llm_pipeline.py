@@ -411,3 +411,43 @@ def delivery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_returnflag").alias("n_flags"),
         F.count_distinct("l_linestatus").alias("n_statuses"),
     )
+
+
+@register(
+    "llm_doc_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    ranked AS (
+        SELECT doc_id, term, tf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, term) AS rnk
+        FROM tf
+    )
+    SELECT doc_id, rnk, term, tf FROM ranked
+    WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    tags=("llm",),
+)
+def llm_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by term frequency (keyword surface for
+    routing/tagging): explode → (doc, term) count → per-doc window
+    top-k. Ranked on the integer (tf DESC, term ASC) key so both
+    engines pick identical rows — ranking on a computed double (e.g.
+    raw tfidf) would let a last-ulp idf difference reorder near-ties.
+    The window partitions on doc_id: per-doc state is |doc vocab|,
+    embarrassingly parallel at any corpus size."""
+    from hadoop_deliver_spark.operators.llm import _tokens
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = _tokens(d).withColumnRenamed("tok", "term")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf")
+        .orderBy("doc_id", "rnk")
+    )

@@ -494,3 +494,81 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_channel").asc_nulls_first())
     )
+
+
+@register(
+    "join_bucketed_noshuffle",
+    """
+    SELECT o.o_custkey, count(*) AS n_orders, count(li.l_orderkey) AS n_items,
+           CAST(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS REAL) AS total_price
+    FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey ORDER BY o.o_custkey
+    """,
+)
+def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join of two tables bucketed on the SAME key with the
+    SAME bucket count: orders and lineitem are each bucketed(8) +
+    sorted on the order key at write time, so the join reads
+    bucket i ⋈ bucket i directly — zero Exchange on either join side
+    (asserted by the plan-shape test ring). This is the 100 TB answer
+    to a fact⋈fact join that runs every day: pay the shuffle once at
+    ingest, never again. The aggregate after the join re-shuffles on
+    o_custkey, which is the unavoidable key change."""
+    oname, lname = "hds_orders_bkt", "hds_lineitem_bkt"
+    for name, table, key, sort in [
+        (oname, "orders", "o_orderkey", "o_orderkey"),
+        (lname, "lineitem", "l_orderkey", "l_orderkey"),
+    ]:
+        out = _stage_dir(sf_dir, f"{table}_bkt")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(out, ignore_errors=True)
+            (
+                # repartition on the bucket key with the bucket count
+                # (same Murmur3 hash both places) → each task owns
+                # exactly one bucket → ONE file per bucket, so readers
+                # trust the sortBy order and the join plans with no
+                # Sort either (multi-file buckets force a re-sort).
+                tbl(spark, sf_dir, table)
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(sort)
+                .option("path", out)
+                .saveAsTable(name)
+            )
+        elif name not in [t.name for t in spark.catalog.listTables()]:
+            # staged files survive but the in-memory catalog is fresh
+            # (new session): re-register the external table over them.
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                tbl(spark, sf_dir, table)
+                .write.mode("ignore")
+                .bucketBy(8, key)
+                .sortBy(sort)
+                .option("path", out)
+                .saveAsTable(name)
+            )
+    # Since Spark 3.0 bucketed scans don't propagate their sortBy
+    # ordering unless this (runtime-settable) conf is on; with it, the
+    # one-file-per-bucket layout written above lets the join skip the
+    # per-partition Sort too.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    o = spark.table(oname)
+    li = spark.table(lname)
+    # merge hint: at fixture scale the planner would broadcast the
+    # small orders side, which hides what this operator demonstrates.
+    # At 100 TB neither fact side broadcasts and SortMergeJoin is the
+    # real plan — and over equal-bucketed, pre-sorted tables it needs
+    # neither Exchange nor Sort (the test ring asserts both).
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("l_orderkey").alias("n_items"),
+            F.sum(dec2("l_extendedprice")).cast("double").cast("float")
+            .alias("total_price"),
+        )
+        .orderBy("o_custkey")
+    )

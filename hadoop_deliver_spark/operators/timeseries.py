@@ -296,3 +296,56 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "events_day_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '2024-01-01', CAST(d AS DATE))
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len FROM seq GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           max(len) AS longest_streak, count(*) AS n_streaks
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries",),
+)
+def events_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern on the calendar axis (engagement-streak
+    analytics): distinct active days, then day-number minus row-number
+    is constant within a run of consecutive days, so one groupBy on
+    that constant measures every streak. Two user_id-partitioned
+    shuffles total; integer-only output."""
+    ev = tbl(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = days.withColumn(
+        "grp",
+        F.datediff(F.to_date("d"), F.lit("2024-01-01")).cast("long")
+        - F.row_number().over(w),
+    )
+    streaks = seq.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

@@ -390,3 +390,22 @@ def test_hll_sketch_error_envelope(spark, sf_dir):
     )
     merged = out.merge(direct, on="event_type")
     assert (merged.est_users == merged.direct_est).all()
+
+
+def test_bucketed_join_has_no_shuffle_or_sort(spark, sf_dir):
+    """The co-located bucketed join must read bucket i ⋈ bucket i
+    directly: a SortMergeJoin with NO Exchange and NO Sort on either
+    input (the write pre-shuffled and pre-sorted; one file per bucket
+    so the sortBy order is trusted). The only Exchange allowed in the
+    whole plan is the post-join o_custkey aggregate."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    df = R["join_bucketed_noshuffle"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "SortMergeJoin" in plan, plan
+    below_join = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in below_join, below_join
+    assert "Sort " not in below_join, below_join
