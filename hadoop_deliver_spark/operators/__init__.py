@@ -19,6 +19,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     setops,
     sorts,
     sources,
+    sqlsurface,
     streaming,
     timeseries,
     udfs,

@@ -164,3 +164,52 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("passed", F.col("n_violations") == 0)
         .orderBy("check_name")
     )
+
+
+@register(
+    "delivery_observed_metrics",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS REAL) AS total_price,
+           min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+    FROM lineitem WHERE l_discount > 0.05
+    """,
+    tags=("quality", "delivery"),
+)
+def delivery_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline instrumentation via df.observe(): the delivery scan
+    carries named aggregate metrics that the engine accumulates
+    DURING the pass — row count, exact DECIMAL money total, key
+    range — so publishing a dataset and auditing it is ONE job, not
+    a write plus a re-read. At 100 TB that second scan is real money;
+    observe() metrics ride the task results for free. The query
+    materializes the delivery (foreach no-op action), then surfaces
+    the observed metrics as the result row — hash-checked against the
+    oracle recomputing them relationally."""
+    from pyspark.sql import Observation, Row
+
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    ob = Observation("delivery_metrics")
+    observed = li.observe(
+        ob,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .cast("float")
+        .alias("total_price"),
+        # observe() forbids DISTINCT aggregates (they don't merge as
+        # task-local partials); key range stands in for the audit.
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    # The delivery action must be a SQL-layer action (noop-sink write):
+    # RDD actions like foreach() bypass the QueryExecution listener
+    # that delivers observed metrics, and Observation.get blocks forever.
+    observed.write.format("noop").mode("overwrite").save()
+    m = ob.get
+    return spark.createDataFrame(
+        [Row(n_rows=m["n_rows"], total_price=m["total_price"],
+             min_key=m["min_key"], max_key=m["max_key"])],
+        "n_rows BIGINT, total_price FLOAT, min_key BIGINT, max_key BIGINT",
+    )
