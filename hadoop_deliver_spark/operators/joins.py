@@ -334,6 +334,43 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_union_window(e: DataFrame, probes: DataFrame, forward: bool,
+                       out: str) -> DataFrame:
+    """Union+window as-of core, shared by join_asof / join_asof_forward
+    and the randomized differential ring. ``e`` carries one value per
+    (user_id, ts); ``probes`` carries (user_id, ts). Backward: probes
+    sort AFTER same-ts events and `last(value)` looks back — asof
+    `<=`. Forward: probes sort BEFORE same-ts events and
+    `first(value)` looks ahead — asof `>=`."""
+    probes = probes.withColumn("is_probe", F.lit(1)).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    tagged = e.withColumn("is_probe", F.lit(0)).select(
+        "user_id", "ts", "value", "is_probe"
+    )
+    unioned = tagged.unionByName(probes.select("user_id", "ts", "value", "is_probe"))
+    if forward:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", F.desc("is_probe"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picked = F.first("value", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "is_probe")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = F.last("value", ignorenulls=True).over(w)
+    return (
+        unioned.withColumn(out, picked)
+        .filter((F.col("is_probe") == 1) & F.col(out).isNotNull())
+        .select("user_id", F.col("ts").alias("probe_ts"), out)
+        .orderBy("user_id", "probe_ts")
+    )
+
+
 @register(
     "join_asof",
     f"""
@@ -361,31 +398,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     # dedup to one value per (user, ts) so both engines break ts ties identically
     e = ev.groupBy("user_id", "ts").agg(F.max_by("value", "event_id").alias("value"))
-    probes = (
-        ev.select("user_id", F.date_trunc("day", "ts").alias("ts"))
-        .distinct()
-        .withColumn("is_probe", F.lit(1))
-        .withColumn("value", F.lit(None).cast("double"))
-    )
-    tagged = e.withColumn("is_probe", F.lit(0)).select(
-        "user_id", "ts", "value", "is_probe"
-    )
-    unioned = tagged.unionByName(probes.select("user_id", "ts", "value", "is_probe"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        unioned.withColumn("asof_value", F.last("value", ignorenulls=True).over(w))
-        .filter((F.col("is_probe") == 1) & F.col("asof_value").isNotNull())
-        .select(
-            "user_id",
-            F.col("ts").alias("probe_ts"),
-            "asof_value",
-        )
-        .orderBy("user_id", "probe_ts")
-    )
+    probes = ev.select("user_id", F.date_trunc("day", "ts").alias("ts")).distinct()
+    return _asof_union_window(e, probes, forward=False, out="asof_value")
 
 
 @register(
@@ -416,31 +430,8 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     # dedup to one value per (user, ts) so both engines break ts ties identically
     e = ev.groupBy("user_id", "ts").agg(F.max_by("value", "event_id").alias("value"))
-    probes = (
-        ev.select("user_id", F.date_trunc("day", "ts").alias("ts"))
-        .distinct()
-        .withColumn("is_probe", F.lit(1))
-        .withColumn("value", F.lit(None).cast("double"))
-    )
-    tagged = e.withColumn("is_probe", F.lit(0)).select(
-        "user_id", "ts", "value", "is_probe"
-    )
-    unioned = tagged.unionByName(probes.select("user_id", "ts", "value", "is_probe"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", F.desc("is_probe"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    return (
-        unioned.withColumn("next_value", F.first("value", ignorenulls=True).over(w))
-        .filter((F.col("is_probe") == 1) & F.col("next_value").isNotNull())
-        .select(
-            "user_id",
-            F.col("ts").alias("probe_ts"),
-            "next_value",
-        )
-        .orderBy("user_id", "probe_ts")
-    )
+    probes = ev.select("user_id", F.date_trunc("day", "ts").alias("ts")).distinct()
+    return _asof_union_window(e, probes, forward=True, out="next_value")
 
 
 @register(

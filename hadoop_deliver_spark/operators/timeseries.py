@@ -333,6 +333,13 @@ def events_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).distinct()
+    return _day_streaks(days)
+
+
+def _day_streaks(days: DataFrame) -> DataFrame:
+    """Gaps-and-islands core over distinct (user_id, d) day rows;
+    shared by events_day_streaks and the randomized differential
+    ring."""
     w = Window.partitionBy("user_id").orderBy("d")
     seq = days.withColumn(
         "grp",

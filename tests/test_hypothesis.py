@@ -65,3 +65,115 @@ def test_grid_pairs_equal_brute_force_on_random_vectors(spark, seed, tau, dim):
     grid = _grid_cosine_pairs(emb, tau=tau).collect()
     brute = _pairs_brute(emb, tau)
     assert grid == brute
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    forward=st.booleans(),
+)
+def test_asof_union_window_equals_duckdb_asof(spark, seed, forward):
+    """The union+window as-of core must equal DuckDB's native ASOF
+    JOIN (an independent implementation) on ANY event set — including
+    ts ties between events and probes, probes before the first event,
+    and probes after the last. Random small event sets probe the tie
+    semantics the fixture rarely exercises."""
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from hadoop_deliver_spark.operators.joins import _asof_union_window
+    from tests.parity import assert_frames_match
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    # small user set + coarse second grid → frequent exact-ts ties
+    ev_rows = [
+        (
+            rng.randint(0, 3),
+            base + timedelta(seconds=rng.randint(0, 30)),
+            round(rng.uniform(0, 100), 2),
+        )
+        for _ in range(40)
+    ]
+    # one value per (user, ts): keep the max (both engines identical)
+    dedup = {}
+    for u, ts, v in ev_rows:
+        dedup[(u, ts)] = max(v, dedup.get((u, ts), -1.0))
+    ev_rows = [(u, ts, v) for (u, ts), v in sorted(dedup.items())]
+    probe_rows = sorted(
+        {
+            (rng.randint(0, 3), base + timedelta(seconds=rng.randint(-5, 35)))
+            for _ in range(15)
+        }
+    )
+    e = spark.createDataFrame(
+        ev_rows, "user_id long, ts timestamp, value double"
+    )
+    probes = spark.createDataFrame(probe_rows, "user_id long, ts timestamp")
+    out = "next_value" if forward else "asof_value"
+    got = _asof_union_window(e, probes, forward=forward, out=out).toPandas()
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP, value DOUBLE)")
+    duck.executemany("INSERT INTO ev VALUES (?, ?, ?)", ev_rows)
+    duck.execute("CREATE TABLE pr (user_id BIGINT, ts TIMESTAMP)")
+    duck.executemany("INSERT INTO pr VALUES (?, ?)", probe_rows)
+    op = ">=" if forward else "<="
+    want = duck.execute(
+        f"""
+        SELECT p.user_id, p.ts AS probe_ts, e.value AS {out}
+        FROM pr p ASOF JOIN ev e
+          ON e.user_id = p.user_id AND e.ts {op} p.ts
+        ORDER BY p.user_id, probe_ts
+        """
+    ).df()
+    assert_frames_match(got, want, f"asof forward={forward} seed={seed}")
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_day_streaks_equal_duckdb_on_random_days(spark, seed):
+    """Gaps-and-islands streak lengths must match DuckDB's independent
+    computation on ANY random day set (runs of consecutive days with
+    arbitrary gaps, single-day islands, full-range runs)."""
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from hadoop_deliver_spark.operators.timeseries import _day_streaks
+    from tests.parity import assert_frames_match
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    day_rows = sorted(
+        {
+            (rng.randint(0, 4), base + timedelta(days=rng.randint(0, 20)))
+            for _ in range(60)
+        }
+    )
+    days = spark.createDataFrame(day_rows, "user_id long, d timestamp")
+    got = _day_streaks(days).toPandas()
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE days (user_id BIGINT, d TIMESTAMP)")
+    duck.executemany("INSERT INTO days VALUES (?, ?)", day_rows)
+    want = duck.execute(
+        """
+        WITH seq AS (
+          SELECT user_id, d,
+                 date_diff('day', DATE '2024-01-01', CAST(d AS DATE))
+                   - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+          FROM days
+        ),
+        streaks AS (
+          SELECT user_id, grp, count(*) AS len FROM seq GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+               max(len) AS longest_streak, count(*) AS n_streaks
+        FROM streaks GROUP BY user_id ORDER BY user_id
+        """
+    ).df()
+    assert_frames_match(got, want, f"streaks seed={seed}")
