@@ -572,3 +572,28 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register("scan_xml", "SELECT * FROM nation")
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (native since Spark 4): nation staged as row-tagged
+    XML, read back with explicit schema — the legacy-feed ingestion
+    format of the reference genre's enterprise cousins. Exact
+    roundtrip like scan_csv/scan_json. (Avro is the one mainstream
+    format NOT covered: its data source is an external jar the
+    runtime here doesn't bundle — `format("avro")` raises
+    FAILED_TO_FIND_DATA_SOURCE; at deploy time add
+    org.apache.spark:spark-avro and the scan mirrors scan_json.)"""
+    path = _ensure_staged(
+        tbl(spark, sf_dir, "nation"),
+        _stage_dir(sf_dir, "nation_xml"),
+        "xml",
+        rootTag="nations",
+        rowTag="nation",
+    )
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
