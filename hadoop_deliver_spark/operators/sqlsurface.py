@@ -117,3 +117,74 @@ def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {name} GROUP BY n_regionkey ORDER BY n_regionkey
         """
     )
+
+
+@register(
+    "scan_python_datasource",
+    """
+    WITH seq AS (
+        SELECT i AS id, CAST((i * i) % 97 AS DOUBLE) AS value
+        FROM range(0, 5000) t(i)
+    )
+    SELECT CAST(id % 8 AS BIGINT) AS bucket, count(*) AS n,
+           CAST(sum(value) AS BIGINT) AS total
+    FROM seq GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sql",),
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python Data Source API: a
+    deterministic sequence source that plans its own InputPartitions
+    (each worker generates its slice independently — the contract any
+    scalable connector must honor: no driver-side materialization,
+    splits computed from metadata). This is the extension path for the
+    reference genre's bespoke archive formats when no JVM DataSource
+    exists; rows stream out of Python per-partition, so at 100 TB the
+    source parallelizes exactly like a file scan. The oracle
+    reconstructs the same sequence relationally; integer-valued
+    doubles sum exactly."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RangePart(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 100))
+            self.parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            step = max(1, self.n // self.parts)
+            bounds = list(range(0, self.n, step)) + [self.n]
+            return [RangePart(a, b) for a, b in zip(bounds, bounds[1:])]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                yield (i, float((i * i) % 97))
+
+    class SeqSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hds_seq"
+
+        def schema(self) -> str:
+            return "id BIGINT, value DOUBLE"
+
+        def reader(self, schema):
+            return SeqReader(self.options)
+
+    spark.dataSource.register(SeqSource)
+    seq = spark.read.format("hds_seq").option("n", 5000).option("parts", 8).load()
+    return (
+        seq.groupBy((F.col("id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("long").alias("total"),
+        )
+        .orderBy("bucket")
+    )

@@ -14,6 +14,18 @@ the production path is `toTable`/parquet — exercised by
 HDFS-backed by default here; at 100 TB state (big session windows,
 wide dedup keys) flip
 `spark.sql.streaming.stateStore.providerClass` to RocksDB.
+
+API-coverage note: the arbitrary-stateful surface is demonstrated via
+``applyInPandasWithState`` (stream_stateful_custom). Spark 4's
+successor API ``transformWithStateInPandas`` (typed ValueState/
+ListState/MapState handles + timers) was attempted and verified
+IMPOSSIBLE in this runtime: its driver↔worker state protocol imports
+``google.protobuf``, which is not installed here (the worker crashes
+with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError;
+reproduced 2026-08-13). On a deployment with protobuf present the
+stream_stateful_custom processor ports mechanically: init() binds a
+ValueState("agg", "n BIGINT, v DOUBLE"), handleInputRows() replaces
+the tuple-state read/update, everything else is identical.
 """
 
 from __future__ import annotations
