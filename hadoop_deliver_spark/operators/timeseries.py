@@ -155,9 +155,17 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.groupBy("event_type", "bucket").agg(
         (F.sum(dec2("value")).cast("double") / F.count("value")).alias("obs_v")
     )
-    bounds = e.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    return _interpolate_grid(b)
+
+
+def _interpolate_grid(b: DataFrame) -> DataFrame:
+    """Linear-interpolation core over pre-aggregated observations
+    (event_type, bucket timestamp, obs_v double); shared by
+    ts_interpolate_linear and the randomized differential ring. The
+    grid spans the global [min, max] bucket in 6-hour steps."""
+    bounds = b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     grid = (
-        e.select("event_type")
+        b.select("event_type")
         .distinct()
         .crossJoin(bounds)
         .select(

@@ -177,3 +177,86 @@ def test_day_streaks_equal_duckdb_on_random_days(spark, seed):
         """
     ).df()
     assert_frames_match(got, want, f"streaks seed={seed}")
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_interpolation_equals_duckdb_on_random_series(spark, seed):
+    """The grid-interpolation core must match an independent DuckDB
+    computation on ANY sparse series — single observations (no
+    interpolable gap), interior gaps of arbitrary width, leading/
+    trailing gaps (stay null), and values adversarially placed near
+    .xxxx5 quantization edges."""
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from hadoop_deliver_spark.operators.timeseries import _interpolate_grid
+    from tests.parity import assert_frames_match
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for t in ["a", "b", "c"]:
+        n_obs = rng.randint(1, 8)
+        slots = rng.sample(range(12), n_obs)
+        for s in slots:
+            # mix ordinary values with .xxxx5-edge ones
+            v = (
+                round(rng.uniform(0, 100), 2)
+                if rng.random() < 0.5
+                else rng.randint(0, 999) / 10 + 0.00005
+            )
+            rows.append((t, base + timedelta(hours=6 * s), v))
+    b = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, obs_v double"
+    )
+    got = _interpolate_grid(b).toPandas()
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE b (event_type VARCHAR, bucket TIMESTAMP, obs_v DOUBLE)"
+    )
+    duck.executemany("INSERT INTO b VALUES (?, ?, ?)", rows)
+    want = duck.execute(
+        """
+        WITH bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+        grid AS (
+          SELECT t.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM b) t
+          CROSS JOIN (
+            SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds),
+                                          INTERVAL 6 HOUR)) AS bucket
+          ) g
+        ),
+        j AS (
+          SELECT grid.event_type, grid.bucket, b.obs_v,
+                 last_value(b.obs_v IGNORE NULLS) OVER wa AS prev_v,
+                 last_value(CASE WHEN b.obs_v IS NOT NULL THEN grid.bucket END
+                            IGNORE NULLS) OVER wa AS prev_t,
+                 first_value(b.obs_v IGNORE NULLS) OVER wd AS next_v,
+                 first_value(CASE WHEN b.obs_v IS NOT NULL THEN grid.bucket END
+                             IGNORE NULLS) OVER wd AS next_t
+          FROM grid LEFT JOIN b
+            ON b.event_type = grid.event_type AND b.bucket = grid.bucket
+          WINDOW wa AS (PARTITION BY grid.event_type ORDER BY grid.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wd AS (PARTITION BY grid.event_type ORDER BY grid.bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket,
+               CAST(floor(
+                 CASE
+                   WHEN obs_v IS NOT NULL THEN obs_v
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                     prev_v + (next_v - prev_v)
+                       * (CAST(epoch(bucket) - epoch(prev_t) AS DOUBLE)
+                          / CAST(epoch(next_t) - epoch(prev_t) AS DOUBLE))
+                   ELSE NULL
+                 END * 10000 + 0.5) / 10000 AS REAL) AS value_interp
+        FROM j ORDER BY event_type, bucket
+        """
+    ).df()
+    assert_frames_match(got, want, f"interp seed={seed}")
