@@ -624,9 +624,7 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "llm_dedup_clusters",
-    f"""
+_CLUSTERS_CTE = """
     WITH RECURSIVE pairs AS (
         SELECT doc_a, doc_b FROM (
             SELECT doc_a, doc_b, jaccard FROM (
@@ -663,9 +661,19 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, src FROM edges
         UNION
         SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    clustered AS (
+        SELECT doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY doc_id
     )
-    SELECT doc_id, min(label) AS cluster_id
-    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "llm_dedup_clusters",
+    _CLUSTERS_CTE
+    + """
+    SELECT doc_id, cluster_id FROM clustered ORDER BY doc_id
     """,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,3 +726,53 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_dedup_keep_best",
+    _CLUSTERS_CTE
+    + """
+    , ranked AS (
+        SELECT d.doc_id, c.cluster_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rnk
+        FROM documents d JOIN clustered c ON c.doc_id = d.doc_id
+    )
+    SELECT d.doc_id, r.cluster_id,
+           CASE WHEN r.cluster_id IS NULL THEN TRUE ELSE r.rnk = 1 END AS keep
+    FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/purge decision that completes the dedup pipeline:
+    within every near-duplicate cluster keep ONE survivor — the
+    longest document (n_chars, integer, cross-engine-identical), doc_id
+    as tiebreak — and purge the rest; unclustered documents keep
+    themselves. Survivor choice is an argmax per cluster via
+    max_by on the (n_chars, −doc_id) struct — one aggregate over the
+    |clustered docs| rows, NOT a window over the whole corpus: the
+    unclustered majority never enters a partition, so there is no
+    all-nulls mega-partition at 100 TB. Output: (doc_id, cluster_id
+    nullable, keep boolean) — the purge list a delivery job anti-joins
+    against."""
+    clusters = llm_dedup_clusters(spark, sf_dir)
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clustered = clusters.join(d, "doc_id")
+    best = clustered.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+        ).alias("best_doc")
+    )
+    return (
+        d.join(clusters, "doc_id", "left")
+        .join(F.broadcast(best), "cluster_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.col("cluster_id").isNull(), F.lit(True))
+            .otherwise(F.col("doc_id") == F.col("best_doc"))
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
