@@ -181,3 +181,69 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("contaminated", F.col("n_shared") >= 5)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_funnel_windowed",
+    """
+    WITH v AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND CAST(e.ts AS TIMESTAMP) > v.t1
+          AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > c.t2
+          AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: each stage must follow the
+    previous one within 24 hours (the attribution-window form every
+    product-analytics funnel actually uses — the unbounded variant is
+    events_funnel). Same chained min-aggregate shape, the window bound
+    rides the equi-join predicate, so state per user stays one
+    timestamp per stage at any scale."""
+    ev = tbl(spark, sf_dir, "events")
+
+    def first_within(event_type: str, prev: DataFrame, tcol: str, out: str):
+        e = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").alias("ets")
+        )
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ets") > F.col(tcol))
+                & (F.col("ets") <= F.col(tcol) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ets").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_within("click", v, "t1", "t2")
+    p = first_within("purchase", c, "t2", "t3")
+    staged = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return staged.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+    )
