@@ -595,15 +595,61 @@ def llm_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_doc_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket documents into global length deciles. ntile needs a
-    global order (single-partition window) — fine for metadata-sized
-    inputs; the 100 TB variant computes approx decile boundaries
-    (percentile_approx) and assigns buckets with a broadcast range
-    lookup instead."""
-    d = tbl(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return d.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(10).over(w).cast("long").alias("decile"),
+    """Bucket documents into EXACT global length deciles without a
+    single-partition window — the 100 TB shape promised by round 3.
+
+    Plan: (1) one agg pass computes percentile_approx split points on
+    n_chars (balance only — accuracy does not affect correctness);
+    (2) each row gets a deterministic block id = #splits < n_chars
+    (pure function of the row, so it is stable across the two driver
+    actions — no persist needed, unlike repartitionByRange whose
+    sampled boundaries can differ between actions); (3) a tiny
+    groupBy(block).count() is collected (≤ _LEN_BLOCKS rows) and
+    cumulative offsets go back as a broadcast map literal; (4)
+    row_number over a window PARTITIONED by block + offset = exact
+    global rank, and ntile(10)'s arithmetic (first N%10 buckets get
+    one extra row) is applied to that rank. Every stage is map-side
+    or a hash-partitioned shuffle; nothing funnels through one task.
+    Matches the `ntile(10) OVER (ORDER BY n_chars, doc_id)` oracle
+    hash-exactly because ties on n_chars share a block and doc_id is
+    unique."""
+    nblocks = 32
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    qs = [i / nblocks for i in range(1, nblocks)]
+    splits = sorted(
+        set(
+            d.agg(
+                F.percentile_approx(
+                    "n_chars", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+                ).alias("b")
+            ).collect()[0].b
+        )
+    )
+    split_arr = F.array(*[F.lit(int(s)) for s in splits])
+    blocked = d.withColumn(
+        "_blk", F.size(F.filter(split_arr, lambda s: s < F.col("n_chars")))
+    )
+    sizes = sorted(
+        ((r._blk, r["count"]) for r in blocked.groupBy("_blk").count().collect())
+    )
+    offsets, total = {}, 0
+    for blk, cnt in sizes:
+        offsets[blk] = total
+        total += cnt
+    off_map = F.create_map(
+        *[F.lit(x) for blk, off in offsets.items() for x in (blk, off)]
+    )
+    rn = (
+        F.row_number().over(Window.partitionBy("_blk").orderBy("n_chars", "doc_id"))
+        + off_map[F.col("_blk")]
+    )
+    q, r = divmod(total, 10)
+    if q == 0:  # fewer rows than buckets: ntile assigns rank directly
+        decile = rn
+    else:
+        decile = F.when(
+            rn <= r * (q + 1), F.floor((rn - 1) / F.lit(q + 1)) + 1
+        ).otherwise(F.floor((rn - 1 - r * (q + 1)) / F.lit(q)) + r + 1)
+    return blocked.select(
+        "doc_id", "n_chars", decile.cast("long").alias("decile")
     ).orderBy("doc_id")

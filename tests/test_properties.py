@@ -191,9 +191,6 @@ _NESTED_LOOP_OK = {
 # tell whether the Window sits ON the single partition), so 1-row
 # global aggregates elsewhere in the plan also land here.
 _SINGLE_PARTITION_WINDOW_OK = {
-    # global ntile by spec; docstring documents the percentile_approx +
-    # broadcast-range-lookup variant as the 100 TB path
-    "llm_doc_length_bucket",
     # the window runs over the ~20-row per-source aggregate, not the
     # corpus; single partition is the right plan for 20 rows
     "llm_mix_weights",
