@@ -337,6 +337,37 @@ def test_no_single_partition_windows(spark, sf_dir):
     assert not offenders, f"single-partition window leaked into: {offenders}"
 
 
+def test_connected_components_long_chain(spark):
+    """A 60-hop chain (diameter far beyond the old 20-round flat
+    propagation cap, which silently returned WRONG clusters on it)
+    must fully collapse to the component minimum — pointer doubling
+    converges it in ~log2(60) rounds. A second disjoint component and
+    an isolated pair guard against cross-component label bleed."""
+    from hadoop_deliver_spark.operators.llm_text import _connected_components
+
+    chain = [(i, i + 1) for i in range(100, 160)]  # 61 nodes, 60 hops
+    other = [(500, 501), (501, 502)]
+    pairs = spark.createDataFrame(chain + other, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.cluster_id for r in _connected_components(pairs).collect()
+    }
+    assert all(got[i] == 100 for i in range(100, 161))
+    assert all(got[i] == 500 for i in (500, 501, 502))
+
+
+def test_connected_components_raises_past_cap(spark):
+    """With max_rounds too small for the diameter, the helper must
+    RAISE — never return silently wrong clusters (round-3 defect)."""
+    import pytest
+
+    from hadoop_deliver_spark.operators.llm_text import _connected_components
+
+    chain = [(i, i + 1) for i in range(0, 40)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _connected_components(pairs, max_rounds=2)
+
+
 def test_funnel_monotone_and_retention_day0(spark, sf_dir):
     """Structural invariants of the analytics ops: funnel stage counts
     must be non-increasing (a user cannot convert a later stage
