@@ -22,7 +22,6 @@ the reference genre's single-file `getmerge` delivery step.
 
 from __future__ import annotations
 
-import functools
 import glob
 import hashlib
 import itertools
@@ -38,12 +37,14 @@ from hadoop_deliver_spark.tables import dec2, tbl
 _STAGE = "/tmp/hds_stage"
 _counter = itertools.count()
 
-@functools.lru_cache(maxsize=None)
 def _fixture_tag(sf_dir: str) -> str:
     """Fingerprint of the fixture generation (name/size/mtime of every
     parquet in sf_dir). Baked into the stage path so a driver-side
     fixture regeneration (e.g. the ts dtype change between rounds)
-    can never be served a stale staged copy."""
+    can never be served a stale staged copy — even mid-process:
+    deliberately NOT cached (the stat loop is ~10 files, trivially
+    cheap), so a regeneration during a long-lived driver is picked up
+    on the next call."""
     h = hashlib.sha1(b"stage-format-v2;")  # bump when staged layout/dtypes change
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         st = os.stat(p)
@@ -515,6 +516,9 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a fact⋈fact join that runs every day: pay the shuffle once at
     ingest, never again. The aggregate after the join re-shuffles on
     o_custkey, which is the unavoidable key change."""
+    from hadoop_deliver_spark.tables import prepare_session
+
+    prepare_session(spark)  # bucketedTableScan.outputOrdering lives there
     oname, lname = "hds_orders_bkt", "hds_lineitem_bkt"
     for name, table, key, sort in [
         (oname, "orders", "o_orderkey", "o_orderkey"),
@@ -538,22 +542,22 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
         elif name not in [t.name for t in spark.catalog.listTables()]:
-            # staged files survive but the in-memory catalog is fresh
-            # (new session): re-register the external table over them.
+            # Staged files survive but the in-memory catalog is fresh
+            # (new session): re-register by DDL ONLY — no data write.
+            # (A mode('ignore') saveAsTable here still executes the
+            # CTAS write on pyspark 4.1.2, and without the repartition
+            # above it doubles the part files, breaking the
+            # one-file-per-bucket layout the no-Sort plan relies on.)
             spark.sql(f"DROP TABLE IF EXISTS {name}")
-            (
-                tbl(spark, sf_dir, table)
-                .write.mode("ignore")
-                .bucketBy(8, key)
-                .sortBy(sort)
-                .option("path", out)
-                .saveAsTable(name)
+            schema_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(out).schema.fields
             )
-    # Since Spark 3.0 bucketed scans don't propagate their sortBy
-    # ordering unless this (runtime-settable) conf is on; with it, the
-    # one-file-per-bucket layout written above lets the join skip the
-    # per-partition Sort too.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+            spark.sql(
+                f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({sort}) INTO 8 BUCKETS "
+                f"LOCATION '{out}'"
+            )
     o = spark.table(oname)
     li = spark.table(lname)
     # merge hint: at fixture scale the planner would broadcast the

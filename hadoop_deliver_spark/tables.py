@@ -52,6 +52,15 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # Bucketed scans stopped propagating their written sortBy order in
+    # Spark 3.0 unless this (runtime-settable) conf is on; the engine's
+    # bucketed tables are written one-file-per-bucket precisely so the
+    # order can be trusted, letting join_bucketed_noshuffle skip both
+    # Exchange and Sort. Session-wide by design: the returned DataFrame
+    # is planned lazily at collect time (AQE), so a set/restore inside
+    # the operator would be undone before execution reads it. Only
+    # bucketed-table scans observe the conf.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     return spark
 
 
