@@ -1,13 +1,18 @@
 #!/usr/bin/env python
 """Per-round benchmark: the 7 BASELINE.md headline queries on
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), one shared tuned
-SparkSession, warm once + median of 3 timed runs with full result
-materialization — the same protocol BASELINE.md used, so the numbers
-are directly comparable row-for-row.
+SparkSession, warm twice + 5 timed runs with full result
+materialization, reporting the per-query MEDIAN (and min alongside,
+for noise diagnosis) — BASELINE.md used the same
+materialization protocol, so the numbers are directly comparable
+row-for-row. Round 3 showed ~1.6x run-to-run wobble on unchanged
+code with median-of-3; 2 warmups + median-of-5 brings back-to-back
+totals within ~20%.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+  {"metric": "...", "value": <total of medians sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...},
+   "queries_min": {...}, "value_min": sec, "sf": 0.1}
 """
 
 from __future__ import annotations
@@ -108,23 +113,27 @@ def main() -> None:
     spark = get_spark("hds-bench")
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        fn(spark, sf_dir).collect()  # warm (JIT, parquet footer cache)
+        for _ in range(2):  # warm (JIT, codegen cache, parquet footers)
+            fn(spark, sf_dir).collect()
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        minima[name] = round(min(runs), 3)
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_7q_total",
-                "value": total,
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "value_min": round(sum(minima.values()), 3),
                 "sf": sf,
             }
         )
