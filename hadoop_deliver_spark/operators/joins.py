@@ -604,3 +604,61 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "join_skew_aqe",
+    """
+    SELECT d.grp, count(*) AS n_events,
+           CAST(CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total_value
+    FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END
+                     AS skew_key,
+                 value
+          FROM events) f
+    LEFT JOIN (SELECT c_custkey AS skew_key, c_mktsegment AS grp
+               FROM customer) d USING (skew_key)
+    GROUP BY d.grp ORDER BY d.grp
+    """,
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join twin of agg_salted_two_phase: the same hot-key
+    problem handled by the RUNTIME instead of a hand-written salt.
+    ~75% of fact rows are funneled onto one join key (user_id%4≠0→0),
+    the dimension side stays a plain scan, and both sides carry a
+    merge hint so the planner keeps the SortMergeJoin that AQE's
+    OptimizeSkewedJoin rule rewrites: the oversized partition is
+    split into mapper-range chunks and the matching dim partition is
+    replicated per chunk (SortMergeJoin(skew=true), asserted by
+    tests/test_properties.py::test_aqe_skew_join_splits).
+
+    Two local-scale notes, both non-issues at 100 TB: (1) AQE splits
+    a skewed partition along MAPPER boundaries, and the fixture
+    parquet is a single scan split, so the upstream repartition(16)
+    stands in for the thousands of map tasks a real fact scan has;
+    (2) the default 256 MB skew threshold is sane in production, so
+    the plan-guard test lowers the thresholds around its execution
+    rather than this operator leaking demo confs into the session.
+    The LEFT join keeps the hot key in the output (no customer 0
+    exists) — the answer must be identical with and without the AQE
+    rewrite, which is exactly what the oracle checks."""
+    ev = tbl(spark, sf_dir, "events").repartition(16).select(
+        F.when(F.col("user_id") % 4 != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+    )
+    dim = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_key"),
+        F.col("c_mktsegment").alias("grp"),
+    )
+    return (
+        ev.hint("merge")
+        .join(dim.hint("merge"), "skew_key", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").cast("float").alias("total_value"),
+        )
+        .orderBy("grp")
+    )

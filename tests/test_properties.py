@@ -368,6 +368,40 @@ def test_connected_components_raises_past_cap(spark):
         _connected_components(pairs, max_rounds=2)
 
 
+def test_aqe_skew_join_splits(spark, sf_dir):
+    """join_skew_aqe must actually trigger AQE's OptimizeSkewedJoin:
+    with the skew thresholds lowered to fixture scale (production
+    defaults are MB-sized), the executed plan must show
+    SortMergeJoin(skew=true). Confs are restored afterwards so the
+    8 KB advisory size cannot leak into other tests' coalescing."""
+    from hadoop_deliver_spark.registry import load_all
+
+    confs = {
+        # 2 KB: below the hot partition's bytes even at the sf0.001
+        # pre-commit fixtures (~750 hot rows); 8 KB is already too
+        # high there.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2048",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        df = load_all()["join_skew_aqe"].fn(spark, sf_dir)
+        for k, v in confs.items():
+            spark.conf.set(k, v)  # after fn(): prepare_session runs inside
+        rows = df.collect()
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
+    assert len(rows) >= 2
+
+
 def test_funnel_monotone_and_retention_day0(spark, sf_dir):
     """Structural invariants of the analytics ops: funnel stage counts
     must be non-increasing (a user cannot convert a later stage
