@@ -188,3 +188,87 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_CBO_TABLES = ("region", "nation", "customer", "orders", "lineitem")
+
+# Deliberately FACT-FIRST declared join order: without CBO the planner
+# keeps it, dragging the full lineitem cardinality through every join.
+_CBO_STAR_SQL = """
+    SELECT r.r_name, count(*) AS n,
+           CAST(sum(li.l_quantity) AS BIGINT) AS qty
+    FROM {li} li
+    JOIN {o} o ON li.l_orderkey = o.o_orderkey
+    JOIN {c} c ON o.o_custkey = c.c_custkey
+    JOIN {n} n ON c.c_nationkey = n.n_nationkey
+    JOIN {r} r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
+def cbo_table_names(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Create + ANALYZE (once per fixture generation) the external
+    catalog tables the CBO demo needs, returning short→catalog-name.
+    Names embed the fixture tag so regenerated fixtures get fresh
+    stats instead of stale ones."""
+    import os
+    import re
+
+    from hadoop_deliver_spark.operators.sources import _fixture_tag
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    fid = _fixture_tag(sf_dir)[:6]
+    names = {t: f"cbo_{tag}_{fid}_{t}" for t in _CBO_TABLES}
+    for t, name in names.items():
+        if not spark.catalog.tableExists(name):
+            spark.sql(
+                f"CREATE TABLE {name} USING parquet "
+                f"LOCATION '{sf_dir}/{t}.parquet'"
+            )
+            # Column stats (NDV/min/max) are what make join-cardinality
+            # estimates real; table-level sizeInBytes alone balloons to
+            # PiB-scale worst-case guesses.
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return names
+
+
+@register(
+    "sql_cbo_star",
+    """
+    SELECT r.r_name, count(*) AS n,
+           CAST(sum(li.l_quantity) AS BIGINT) AS qty
+    FROM lineitem li
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    tags=("sql",),
+)
+def sql_cbo_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering, end to end: ANALYZE TABLE computes
+    row counts + column NDV/min/max for the five star tables, and with
+    `spark.sql.cbo.enabled` + `cbo.joinReorder.enabled` the optimizer
+    rewrites the deliberately fact-first declared order
+    (lineitem→orders→customer→nation→region) into the stats-driven
+    dim-first order — measured on these fixtures the optimized leaf
+    order flips to [nation, region, customer, orders, lineitem], so
+    every intermediate result is dimension-sized until the single
+    fact join (the difference between shuffling lineitem 4 times and
+    once at 100 TB; SURVEY §4.1 deferred exactly this). The CBO confs
+    are set by the PLAN-GUARD TEST around execution, not leaked here
+    session-wide (stats sit only on the cbo_* tables, but cbo.enabled
+    flips size estimation everywhere); without them this query still
+    answers identically — which is what the oracle checks — via the
+    heuristic fact-first plan, hinting nothing."""
+    names = cbo_table_names(spark, sf_dir)
+    return spark.sql(
+        _CBO_STAR_SQL.format(
+            li=names["lineitem"],
+            o=names["orders"],
+            c=names["customer"],
+            n=names["nation"],
+            r=names["region"],
+        )
+    )

@@ -402,6 +402,51 @@ def test_aqe_skew_join_splits(spark, sf_dir):
     assert len(rows) >= 2
 
 
+def test_cbo_reorders_star_join(spark, sf_dir):
+    """With ANALYZE'd stats and CBO on, the deliberately fact-first
+    declared order of sql_cbo_star must be REWRITTEN: lineitem may no
+    longer be the first leaf, and the dims must join before the fact
+    (dim-first keeps every intermediate dimension-sized). With CBO off
+    the declared order survives verbatim — both checked, so the test
+    fails if the demo ever degrades to asserting a no-op. Confs are
+    restored afterwards (cbo.enabled flips size estimation
+    session-wide)."""
+    import re
+
+    from hadoop_deliver_spark.registry import load_all
+
+    def leaf_order(df):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            m.rsplit("_", 1)[-1]
+            for m in re.findall(r"Relation spark_catalog\.default\.(\S+)\[", opt)
+        ]
+
+    fn = load_all()["sql_cbo_star"].fn
+    confs = ["spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled"]
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k in confs:
+            spark.conf.set(k, "false")
+        declared = leaf_order(fn(spark, sf_dir))
+        for k in confs:
+            spark.conf.set(k, "true")
+        reordered = leaf_order(fn(spark, sf_dir))
+        # stats really flowed: the cost-mode explain carries rowCount
+        cost = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "cost"
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert declared == ["lineitem", "orders", "customer", "nation", "region"]
+    assert reordered != declared, reordered
+    assert reordered.index("lineitem") > reordered.index("nation"), reordered
+    assert "rowCount" in cost
+
+
 def test_funnel_monotone_and_retention_day0(spark, sf_dir):
     """Structural invariants of the analytics ops: funnel stage counts
     must be non-increasing (a user cannot convert a later stage
