@@ -180,7 +180,6 @@ def test_plan_shapes(spark, sf_dir):
 _NESTED_LOOP_OK = {
     "join_cross",          # cross join by spec
     "join_theta_range",    # non-equi theta join by spec
-    "llm_sim_bruteforce",  # broadcast probe set × base scan (one pass)
     "llm_sim_ivf",         # 10-row centroid table broadcast
     "ts_resample_gapfill", # 1-row min/max bounds broadcast for the grid
     "ts_interpolate_linear",  # same 1-row bounds broadcast as gapfill
