@@ -583,11 +583,9 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML scan (native since Spark 4): nation staged as row-tagged
     XML, read back with explicit schema — the legacy-feed ingestion
     format of the reference genre's enterprise cousins. Exact
-    roundtrip like scan_csv/scan_json. (Avro is the one mainstream
-    format NOT covered: its data source is an external jar the
-    runtime here doesn't bundle — `format("avro")` raises
-    FAILED_TO_FIND_DATA_SOURCE; at deploy time add
-    org.apache.spark:spark-avro and the scan mirrors scan_json.)"""
+    roundtrip like scan_csv/scan_json. (Avro — the other legacy-feed
+    format — is covered by scan_avro below via the engine's own
+    container codec, since this runtime lacks the spark-avro jar.)"""
     path = _ensure_staged(
         tbl(spark, sf_dir, "nation"),
         _stage_dir(sf_dir, "nation_xml"),
@@ -600,4 +598,86 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "nation")
         .format("xml")
         .load(path)
+    )
+
+
+_AVRO_NATION_SCHEMA = {
+    "type": "record",
+    "name": "nation",
+    "fields": [
+        {"name": "n_nationkey", "type": "int"},
+        {"name": "n_name", "type": "string"},
+        {"name": "n_regionkey", "type": "int"},
+    ],
+}
+
+_avro_pyfile_added: set[str] = set()
+
+
+def _ship_avro_codec(spark: SparkSession) -> None:
+    """Distribute avro_io.py to executor Python workers (once per
+    SparkContext): the workers can't import the repo package — they
+    only get files shipped via addPyFile."""
+    import hadoop_deliver_spark.avro_io as avro_io
+
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _avro_pyfile_added:
+        spark.sparkContext.addPyFile(avro_io.__file__)
+        _avro_pyfile_added.add(app_id)
+
+
+@register("scan_avro", "SELECT * FROM nation")
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro scan WITHOUT the spark-avro data source (absent from this
+    runtime): nation staged as deflate-coded Avro object-container
+    files by the engine's own codec (hadoop_deliver_spark/avro_io.py
+    — pure-Python subset of the public Avro 1.x spec), then scanned
+    DISTRIBUTED: binaryFile source → mapInPandas, one decode task per
+    file, so a many-file avro delivery parallelizes exactly like any
+    other scan. The codec is cross-validated against the JVM's own
+    org.apache.avro reader/writer in tests/test_avro.py — a
+    symmetric encode/decode bug cannot hide behind this roundtrip.
+    Staged as 2 files to keep the multi-file scan path honest."""
+    import pandas as pd
+
+    from hadoop_deliver_spark.avro_io import write_container
+
+    _ship_avro_codec(spark)
+    out = _stage_dir(sf_dir, "nation_avro")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        os.makedirs(out, exist_ok=True)
+        rows = [
+            r.asDict()
+            for r in tbl(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()
+        ]
+        half = (len(rows) + 1) // 2
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            write_container(
+                os.path.join(out, f"part-{i:05d}.avro"),
+                _AVRO_NATION_SCHEMA,
+                chunk,
+                codec="deflate",
+            )
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+
+    def decode(batches):
+        from avro_io import read_container  # shipped via addPyFile
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_container(bytes(content))
+                yield pd.DataFrame(
+                    recs, columns=["n_nationkey", "n_name", "n_regionkey"]
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(out)
+        .filter(F.col("path").endswith(".avro"))
+        .select("content")
+        .mapInPandas(
+            decode, "n_nationkey INT, n_name STRING, n_regionkey INT"
+        )
     )
