@@ -681,3 +681,84 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             decode, "n_nationkey INT, n_name STRING, n_regionkey INT"
         )
     )
+
+
+@register(
+    "sink_avro",
+    """
+    SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Avro sink: every task encodes ITS partition of
+    nation to one object-container file via the engine codec
+    (mapInPandas — no driver-side funnel; at 100 TB this is N writer
+    tasks exactly like any parquet sink), then the files are re-read
+    through the scan path and an aggregate over the re-read rows is
+    hash-checked against the original table — the same write→read
+    roundtrip contract every other sink in this module proves. Each
+    task writes a uniquely-named file and the _SUCCESS marker lands
+    only after the write job's row count is verified (a production
+    deployment would swap this manual commit for Spark's
+    FileCommitProtocol to also survive speculative re-execution)."""
+    import pandas as pd
+
+    _ship_avro_codec(spark)
+    out = _stage_dir(sf_dir, "nation_avro_sink")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        src = (
+            tbl(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .repartition(4, F.col("n_regionkey"))
+        )
+        schema = _AVRO_NATION_SCHEMA
+
+        def write_part(batches):
+            import os as _os
+            import uuid as _uuid
+
+            from avro_io import write_container as wc  # shipped pyfile
+
+            rows = []
+            for pdf in batches:
+                rows.extend(pdf.to_dict("records"))
+            if rows:
+                p = _os.path.join(out, f"part-{_uuid.uuid4().hex}.avro")
+                wc(p, schema, rows, codec="deflate")
+                yield pd.DataFrame({"path": [p], "n": [len(rows)]})
+
+        written = src.mapInPandas(write_part, "path STRING, n BIGINT")
+        total = written.agg(F.sum("n")).collect()[0][0]
+        assert total == src.count(), "avro sink lost rows"
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+
+    def decode(batches):
+        from avro_io import read_container as rc
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = rc(bytes(content))
+                yield pd.DataFrame(
+                    recs, columns=["n_nationkey", "n_name", "n_regionkey"]
+                )
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .filter(F.col("path").endswith(".avro"))
+        .select("content")
+        .mapInPandas(decode, "n_nationkey INT, n_name STRING, n_regionkey INT")
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

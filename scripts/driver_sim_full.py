@@ -1,5 +1,6 @@
-"""Full driver simulation: EVERY queries() entry at sf0.01 on a vanilla
-SparkSession (no tuned confs), compared to its oracle_sql() via DuckDB
+"""Full driver simulation: EVERY queries() entry on a vanilla
+SparkSession (no tuned confs), compared to its oracle_sql() via DuckDB,
+at the sf dir given as argv[1] (default /root/testdata/sf0.01)
 with the driver-style exact comparator. Rows-only queries are executed
 and schema-checked. This is the strongest local approximation of the
 round driver's t2 gate."""
@@ -13,7 +14,7 @@ spark.sparkContext.setLogLevel("ERROR")
 df = mod.entry(spark); assert len(df.collect()) > 0
 q = mod.queries(); oracles = mod.oracle_sql()
 import duckdb
-sf = "/root/testdata/sf0.01"
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 duck = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
