@@ -336,6 +336,24 @@ def test_no_single_partition_windows(spark, sf_dir):
     assert not offenders, f"single-partition window leaked into: {offenders}"
 
 
+def test_transform_with_state_gap_is_current():
+    """streaming.py documents that transformWithStateInPandas is
+    impossible here because its state protocol imports
+    google.protobuf, absent from this container. This tripwire fails
+    the moment protobuf appears, so the documented gap cannot
+    silently outlive its reason."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return  # gap still real
+    raise AssertionError(
+        "google.protobuf is now importable — migrate "
+        "stream_stateful_custom to transformWithStateInPandas "
+        "(see hadoop_deliver_spark/operators/streaming.py module "
+        "docstring for the mechanical port)"
+    )
+
+
 def test_connected_components_long_chain(spark):
     """A 60-hop chain (diameter far beyond the old 20-round flat
     propagation cap, which silently returned WRONG clusters on it)
