@@ -9,7 +9,11 @@ sys.path.insert(0, "/root/repo")
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
 from pyspark.sql import SparkSession
-spark = SparkSession.builder.master("local[8]").getOrCreate()
+# vanilla SQL confs; the JVM size alone is pinned (local-mode default is a
+# 1g driver heap, which OOMs on the sf0.1 fact tables — the round driver's
+# own session is not heap-starved, so emulating 1g would test the wrong thing)
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.driver.memory", "8g").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 df = mod.entry(spark); assert len(df.collect()) > 0
 q = mod.queries(); oracles = mod.oracle_sql()
