@@ -762,3 +762,70 @@ def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "scan_json_corrupt",
+    """
+    SELECT CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_bad,
+           CAST(sum(n_nationkey) FILTER (WHERE ok) AS BIGINT) AS good_key_sum
+    FROM (
+        SELECT n_nationkey, n_nationkey % 5 <> 2 AS ok FROM nation
+    )
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingestion — the delivery-genre
+    reality that some rows of a feed are garbage: nation staged as
+    JSON-lines with every (n_nationkey % 5 == 2) row deterministically
+    truncated mid-record, read back in PERMISSIVE mode with an
+    explicit `_corrupt_record` rescue column. Good rows parse fully,
+    bad rows surface raw in the rescue column with nulls elsewhere —
+    the scan LOSES NOTHING, which is the contract this query hashes
+    (good/bad counts + checksum of parsed keys). Contrast FAILFAST,
+    which aborts the job on the first bad row (asserted in the parity
+    ring, not here — an aborted job returns no DataFrame). Scale: the
+    rescue column is per-row map-side state; quarantine the bad rows
+    by filtering `_corrupt_record IS NOT NULL` to a side sink and the
+    good path stays a clean columnar scan."""
+    out = _stage_dir(sf_dir, "nation_json_corrupt")
+    if not os.path.exists(os.path.join(out, "_marker")):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            tbl(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        import json as _json
+
+        with open(os.path.join(out, "part-00000.json"), "w") as f:
+            for r in rows:
+                line = _json.dumps(
+                    {
+                        "n_nationkey": r.n_nationkey,
+                        "n_name": r.n_name,
+                        "n_regionkey": r.n_regionkey,
+                    }
+                )
+                if r.n_nationkey % 5 == 2:
+                    line = line[: len(line) // 2]  # truncate mid-record
+                f.write(line + "\n")
+        open(os.path.join(out, "_marker"), "w").close()
+    parsed = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(os.path.join(out, "part-00000.json"))
+    )
+    ok = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.count(F.when(ok, 1)).cast("long").alias("n_good"),
+        F.count(F.when(~ok, 1)).cast("long").alias("n_bad"),
+        F.sum(F.when(ok, F.col("n_nationkey"))).cast("long")
+        .alias("good_key_sum"),
+    )

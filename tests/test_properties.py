@@ -336,6 +336,32 @@ def test_no_single_partition_windows(spark, sf_dir):
     assert not offenders, f"single-partition window leaked into: {offenders}"
 
 
+def test_json_failfast_aborts_on_corrupt(spark, sf_dir):
+    """The FAILFAST contrast to scan_json_corrupt's PERMISSIVE rescue:
+    the same staged feed (every 5th nation row truncated mid-record)
+    must ABORT the job under mode=FAILFAST — the other half of the
+    malformed-record contract, asserted here because an aborted job
+    returns no DataFrame to hash."""
+    import os
+
+    import pytest
+
+    from hadoop_deliver_spark.operators.sources import _stage_dir
+    from hadoop_deliver_spark.registry import load_all
+
+    load_all()["scan_json_corrupt"].fn(spark, sf_dir).collect()  # stage
+    path = os.path.join(
+        _stage_dir(sf_dir, "nation_json_corrupt"), "part-00000.json"
+    )
+    df = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+    with pytest.raises(Exception, match="(?i)failfast|malformed"):
+        df.collect()
+
+
 def test_transform_with_state_gap_is_current():
     """streaming.py documents that transformWithStateInPandas is
     impossible here because its state protocol imports
