@@ -103,6 +103,12 @@ def _encode(buf: io.BytesIO, schema, v) -> None:
                     _encode(buf, schema["items"], item)
             write_long(buf, 0)
             return
+        if isinstance(t, str):
+            # annotated primitive, e.g. {"type": "long",
+            # "logicalType": "timestamp-micros"} — the logical type is
+            # metadata; the wire value is the underlying primitive
+            _encode(buf, t, v)
+            return
         raise NotImplementedError(f"avro type {t}")
     if schema == "null":
         return
@@ -141,6 +147,8 @@ def _decode(buf: io.BytesIO, schema):
                     read_long(buf)
                 for _ in range(n):
                     out.append(_decode(buf, schema["items"]))
+        if isinstance(t, str):  # annotated primitive (logicalType)
+            return _decode(buf, t)
         raise NotImplementedError(f"avro type {t}")
     if schema == "null":
         return None

@@ -829,3 +829,114 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ok, F.col("n_nationkey"))).cast("long")
         .alias("good_key_sum"),
     )
+
+
+_AVRO_EVENTS_SCHEMA = {
+    "type": "record",
+    "name": "events_slice",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts_us",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+
+@register(
+    "sink_avro_events",
+    """
+    SELECT count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS REAL)
+               AS total_value,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id % 20 = 0
+    """,
+    tags=("delivery",),
+)
+def sink_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro delivery of a FACT slice with a timestamp-micros logical
+    type — the shape a real feed has (nation covers dims; this one
+    proves timestamps + doubles survive the engine codec). ts rides
+    the wire as its Avro logical form (long micros, annotated
+    `timestamp-micros` in the writer schema) and is reconstituted
+    with timestamp_micros() on read-back, so the min/max timestamps
+    in the hashed aggregate are derived from what was actually
+    written. Same distributed shape as sink_avro: one container file
+    per task, row-count-verified manual commit, scan via binaryFile +
+    mapInPandas."""
+    import pandas as pd
+
+    _ship_avro_codec(spark)
+    out = _stage_dir(sf_dir, "events_avro_sink")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        src = (
+            tbl(spark, sf_dir, "events")
+            .filter(F.col("user_id") % 20 == 0)
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .repartition(4, F.col("user_id"))
+        )
+        schema = _AVRO_EVENTS_SCHEMA
+
+        def write_part(batches):
+            import os as _os
+            import uuid as _uuid
+
+            from avro_io import write_container as wc
+
+            rows = []
+            for pdf in batches:
+                rows.extend(pdf.to_dict("records"))
+            if rows:
+                p = _os.path.join(out, f"part-{_uuid.uuid4().hex}.avro")
+                wc(p, schema, rows, codec="deflate")
+                yield pd.DataFrame({"n": [len(rows)]})
+
+        total = (
+            src.mapInPandas(write_part, "n BIGINT").agg(F.sum("n")).collect()[0][0]
+        )
+        assert total == src.count(), "avro events sink lost rows"
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+
+    def decode(batches):
+        from avro_io import read_container as rc
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = rc(bytes(content))
+                yield pd.DataFrame(
+                    recs,
+                    columns=["event_id", "ts_us", "user_id", "event_type",
+                             "value"],
+                )
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .filter(F.col("path").endswith(".avro"))
+        .select("content")
+        .mapInPandas(
+            decode,
+            "event_id BIGINT, ts_us BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE",
+        )
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("value")).cast("double").cast("float").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )

@@ -22,16 +22,20 @@ _SCHEMA = {
         {"name": "flag", "type": "boolean"},
         {"name": "maybe", "type": ["null", "long"]},
         {"name": "tags", "type": {"type": "array", "items": "string"}},
+        # logical type: metadata over a long — the java library must
+        # accept the annotation and agree on the wire value
+        {"name": "ts_us",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
     ],
 }
 
 _ROWS = [
     {"k": 0, "name": "alpha", "score": 1.5, "flag": True,
-     "maybe": None, "tags": ["x", "y"]},
+     "maybe": None, "tags": ["x", "y"], "ts_us": 1704067200000000},
     {"k": -1, "name": "βeta", "score": -0.25, "flag": False,
-     "maybe": 2**40 + 7, "tags": []},
+     "maybe": 2**40 + 7, "tags": [], "ts_us": 0},
     {"k": 2**31 - 1, "name": "", "score": 6.02e23, "flag": True,
-     "maybe": -(2**62), "tags": ["solo"]},
+     "maybe": -(2**62), "tags": ["solo"], "ts_us": -1},
 ]
 
 
@@ -54,6 +58,7 @@ def test_python_write_java_read(spark, tmp_path):
                 "flag": rec.get("flag"),
                 "maybe": rec.get("maybe"),
                 "tags": [t.toString() for t in rec.get("tags")],
+                "ts_us": rec.get("ts_us"),
             }
         )
     reader.close()
@@ -76,6 +81,7 @@ def test_java_write_python_read(spark, tmp_path):
         rec.put("score", r["score"])
         rec.put("flag", r["flag"])
         rec.put("maybe", r["maybe"])
+        rec.put("ts_us", r["ts_us"])
         arr = jvm.java.util.ArrayList()
         for t in r["tags"]:
             arr.add(t)
