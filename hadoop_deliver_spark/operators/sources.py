@@ -940,3 +940,49 @@ def sink_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "sink_compact_small_files",
+    """
+    SELECT CAST(16 AS BIGINT) AS files_before,
+           CAST(2 AS BIGINT) AS files_after,
+           count(*) AS n_rows,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS REAL) AS total
+    FROM orders
+    """,
+    tags=("delivery",),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the delivery genre's perennial
+    operational chore (a day of micro-batches leaves thousands of
+    KB-sized files; NameNode pressure and per-file task overhead eat
+    the cluster): orders staged as 16 deliberately tiny files, then
+    compacted by an explicit repartition(2) rewrite. The hashed row
+    carries the ACTUAL before/after part-file counts (the oracle pins
+    them as literals — the test fails if compaction ever stops
+    compacting) plus count + exact money total read back from the
+    compacted output, proving the rewrite lost nothing. At scale the
+    target partition count comes from bytes/128MB, the rewrite runs
+    per partition-directory, and the swap is an atomic rename."""
+    small = _stage_dir(sf_dir, "orders_small_files")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        tbl(spark, sf_dir, "orders").repartition(16).write.mode(
+            "overwrite"
+        ).parquet(small)
+    compacted = _stage_dir(sf_dir, "orders_compacted")
+    spark.read.parquet(small).repartition(2).write.mode("overwrite").parquet(
+        compacted
+    )
+
+    def count_parts(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "part-*")))
+
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.lit(count_parts(small)).cast("long").alias("files_before"),
+        F.lit(count_parts(compacted)).cast("long").alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec2("o_totalprice")).cast("double").cast("float").alias("total"),
+    )
