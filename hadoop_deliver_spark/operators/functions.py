@@ -677,3 +677,33 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_aes_roundtrip",
+    """
+    SELECT n_nationkey, n_name AS decrypted,
+           CAST(length(n_name) AS BIGINT) AS plain_len
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption for delivery feeds: aes_encrypt →
+    aes_decrypt roundtrip (AES-128-GCM, the Spark default). The
+    ciphertext is nondeterministic by design (random IV per row), so
+    what the oracle hashes is the DECRYPTED surface — the identity
+    roundtrip plus plaintext length, which is exactly the contract a
+    consumer of an encrypted column cares about. The key would come
+    from a KMS at deploy time; a literal stands in here."""
+    key = F.lit("0123456789abcdef")  # 16 bytes → AES-128
+    n = tbl(spark, sf_dir, "nation")
+    enc = n.select(
+        "n_nationkey",
+        F.aes_encrypt(F.col("n_name").cast("binary"), key).alias("ct"),
+    )
+    return enc.select(
+        "n_nationkey",
+        F.aes_decrypt("ct", key).cast("string").alias("decrypted"),
+        F.length(F.aes_decrypt("ct", key).cast("string")).cast("long")
+        .alias("plain_len"),
+    ).orderBy("n_nationkey")

@@ -986,3 +986,56 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(dec2("o_totalprice")).cast("double").cast("float").alias("total"),
     )
+
+
+@register(
+    "sink_partition_overwrite_dynamic",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+                         CASE WHEN o_orderstatus = 'F'
+                              THEN CAST(2 AS DECIMAL(18,2))
+                              ELSE CAST(1 AS DECIMAL(18,2)) END)
+                     AS DOUBLE) AS REAL) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("delivery",),
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent daily reload: with
+    `spark.sql.sources.partitionOverwriteMode=dynamic`, an INSERT
+    OVERWRITE replaces ONLY the partitions present in the incoming
+    batch — the reprocess-one-day pattern (static mode would wipe the
+    whole dataset first). Staged: the full orders table partitioned by
+    o_orderstatus; then the 'F' partition alone is overwritten with
+    doubled totalprice. The hashed read-back proves BOTH halves of the
+    contract: the F partition carries the new values AND the other
+    partitions still carry the originals (a static-mode wipe would
+    empty them). The conf is saved/restored — the write executes
+    eagerly inside this function, so restore-before-return is safe
+    here, unlike plan-affecting confs on lazily-collected queries."""
+    base = _stage_dir(sf_dir, f"orders_dyn_overwrite_{next(_counter)}")
+    orders = tbl(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            orders.filter(F.col("o_orderstatus") == "F")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(base)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").cast("float")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
