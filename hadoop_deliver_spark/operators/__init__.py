@@ -20,6 +20,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     sorts,
     sources,
     sqlsurface,
+    sqlx,
     streaming,
     timeseries,
     udfs,
