@@ -9,6 +9,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     analytics,
     dq,
     extras,
+    fnx,
     functions,
     joins,
     llm,
