@@ -7,7 +7,10 @@ Importing this package registers every query into
 from hadoop_deliver_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    delivery_sync,
     dq,
+    graph,
+    llm_url,
     extras,
     fnx,
     functions,
