@@ -16,13 +16,16 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     functions,
     joins,
     llm,
+    llm_contain,
     llm_ivf,
     llm_pipeline,
     llm_text,
     projections,
     setops,
+    sketches,
     sorts,
     sources,
+    sugar,
     sqlsurface,
     sqlx,
     streaming,
