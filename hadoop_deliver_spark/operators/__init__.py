@@ -12,6 +12,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     graph,
     llm_url,
     extras,
+    extras2,
     fnx,
     functions,
     joins,
