@@ -12,6 +12,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     dq,
     graph,
     llm_url,
+    llm_vec,
     extras,
     extras2,
     fnx,
