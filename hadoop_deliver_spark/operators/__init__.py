@@ -24,6 +24,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     llm_pipeline,
     llm_text,
     projections,
+    scoring,
     setops,
     sketches,
     sorts,

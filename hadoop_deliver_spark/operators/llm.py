@@ -628,44 +628,11 @@ def llm_doc_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a hash-partitioned shuffle; nothing funnels through one task.
     Matches the `ntile(10) OVER (ORDER BY n_chars, doc_id)` oracle
     hash-exactly because ties on n_chars share a block and doc_id is
-    unique."""
-    nblocks = 32
+    unique. (Implementation shared via operators/ranking.py —
+    events_rfm_scores runs the same core three times.)"""
+    from hadoop_deliver_spark.operators.ranking import exact_global_ntile
+
     d = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    qs = [i / nblocks for i in range(1, nblocks)]
-    splits = sorted(
-        set(
-            d.agg(
-                F.percentile_approx(
-                    "n_chars", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
-                ).alias("b")
-            ).collect()[0].b
-        )
-    )
-    split_arr = F.array(*[F.lit(int(s)) for s in splits])
-    blocked = d.withColumn(
-        "_blk", F.size(F.filter(split_arr, lambda s: s < F.col("n_chars")))
-    )
-    sizes = sorted(
-        ((r._blk, r["count"]) for r in blocked.groupBy("_blk").count().collect())
-    )
-    offsets, total = {}, 0
-    for blk, cnt in sizes:
-        offsets[blk] = total
-        total += cnt
-    off_map = F.create_map(
-        *[F.lit(x) for blk, off in offsets.items() for x in (blk, off)]
-    )
-    rn = (
-        F.row_number().over(Window.partitionBy("_blk").orderBy("n_chars", "doc_id"))
-        + off_map[F.col("_blk")]
-    )
-    q, r = divmod(total, 10)
-    if q == 0:  # fewer rows than buckets: ntile assigns rank directly
-        decile = rn
-    else:
-        decile = F.when(
-            rn <= r * (q + 1), F.floor((rn - 1) / F.lit(q + 1)) + 1
-        ).otherwise(F.floor((rn - 1 - r * (q + 1)) / F.lit(q)) + r + 1)
-    return blocked.select(
-        "doc_id", "n_chars", decile.cast("long").alias("decile")
+    return exact_global_ntile(d, "n_chars", "doc_id", 10, "decile").select(
+        "doc_id", "n_chars", "decile"
     ).orderBy("doc_id")
