@@ -260,3 +260,39 @@ def test_interpolation_equals_duckdb_on_random_series(spark, seed):
         """
     ).df()
     assert_frames_match(got, want, f"interp seed={seed}")
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_rows=st.sampled_from([3, 17, 40, 101]),
+    n_buckets=st.sampled_from([4, 5, 10]),
+)
+def test_exact_ntile_core_equals_window_ntile(spark, seed, n_rows, n_buckets):
+    """The shared block-ranked ntile core (operators/ranking.py) must
+    reproduce `ntile(n) OVER (ORDER BY value, key)` exactly — for any
+    row count (including fewer rows than buckets), duplicate-heavy
+    values, and any bucket count."""
+    import random
+
+    from pyspark.sql import Window
+
+    from hadoop_deliver_spark.operators.ranking import exact_global_ntile
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 9)) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "key long, value long")
+    got = {
+        (r.key, r.bkt)
+        for r in exact_global_ntile(
+            df, "value", "key", n_buckets, "bkt", nblocks=4
+        ).collect()
+    }
+    w = Window.orderBy("value", "key")
+    want = {
+        (r.key, r.bkt)
+        for r in df.select(
+            "key", F.ntile(n_buckets).over(w).cast("long").alias("bkt")
+        ).collect()
+    }
+    assert got == want
