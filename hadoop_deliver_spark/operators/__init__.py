@@ -13,6 +13,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     graph,
     llm_url,
     llm_vec,
+    opsx,
     extras,
     extras2,
     fnx,
