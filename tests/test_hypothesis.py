@@ -296,3 +296,72 @@ def test_exact_ntile_core_equals_window_ntile(spark, seed, n_rows, n_buckets):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_noise=st.integers(min_value=50, max_value=2000),
+    n_heavy=st.integers(min_value=60, max_value=300),
+)
+def test_misra_gries_candidates_are_a_superset(seed, n_noise, n_heavy):
+    """MG(64) must never drop a key with frequency > n/64 — the
+    superset guarantee events_heavy_hitters' exact refine rests on.
+    Adversarial stream: one planted heavy key buried in noise, any
+    arrival order. Pure-Python check (the partition kernel runs on
+    plain pandas batches)."""
+    import random
+
+    import pandas as pd
+
+    from hadoop_deliver_spark.operators.sketches import _K, _mg_partition
+
+    rng = random.Random(seed)
+    heavy_key = 10_000_000
+    stream = [rng.randint(0, 5000) for _ in range(n_noise)]
+    stream += [heavy_key] * n_heavy
+    rng.shuffle(stream)
+    n = len(stream)
+    # only assert when the guarantee applies
+    if n_heavy <= n // _K:
+        return
+    # feed in several batches to exercise batch-boundary state
+    third = max(1, n // 3)
+    batches = [
+        pd.DataFrame({"key": stream[i : i + third]})
+        for i in range(0, n, third)
+    ]
+    (out,) = list(_mg_partition(iter(batches)))
+    assert heavy_key in set(out["key"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_url_canonicalizer_collapses_variants(spark, seed):
+    """Every messy variant of the same resource must canonicalize to
+    one string, and the canonicalizer must be idempotent (running it
+    on its own output is a no-op)."""
+    import random
+
+    from hadoop_deliver_spark.operators.llm_url import _canonicalize
+
+    rng = random.Random(seed)
+    host = rng.choice(["src1", "WWW.src1", "SRC1", "www.SRC1"])
+    variants = []
+    for scheme in ["http", "HTTP", "Http"]:
+        for port in ["", ":80"]:
+            for slash in ["", "/"]:
+                for utm in ["", "utm_source=x&", "utm_campaign=y&"]:
+                    for frag in ["", "#sec1"]:
+                        variants.append(
+                            f"{scheme}://{host}.Example.COM{port}/p/7{slash}"
+                            f"?{utm}lang=en{frag}"
+                        )
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    out = df.select(_canonicalize(F.col("url")).alias("c")).collect()
+    canon = {r.c for r in out}
+    assert len(canon) == 1, canon
+    c = canon.pop()
+    df2 = spark.createDataFrame([(c,)], "url string")
+    again = df2.select(_canonicalize(F.col("url")).alias("c")).collect()[0].c
+    assert again == c
