@@ -23,6 +23,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     llm_contain,
     llm_ivf,
     llm_pipeline,
+    llm_prep,
     llm_text,
     projections,
     scoring,
