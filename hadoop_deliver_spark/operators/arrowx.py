@@ -8,6 +8,8 @@ right tier for columnar numeric kernels (and the transport the
 multimodal decode path would use with a real codec). sink_json_lines
 closes the sink matrix with the genre's other wire format: one
 JSON-lines file per task, gzip-compressed, schema-on-read back.
+events_sliding_uniques (plain relational, no Arrow) also lives here
+from the same wave — see its docstring for the grid-expansion shape.
 
 Every op here states its exact relational equivalent as the oracle —
 the Python kernels are arithmetic the oracle can mirror.

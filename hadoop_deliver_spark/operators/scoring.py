@@ -68,7 +68,7 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("mon_cents"),
-    )
+    ).cache()  # three ntile passes × two driver actions each reuse this
     m = exact_global_ntile(m, "rec_days", "user_id", 5, "r_score")
     m = exact_global_ntile(m, "freq", "user_id", 5, "f_score")
     m = exact_global_ntile(m, "mon_cents", "user_id", 5, "m_score")

@@ -144,13 +144,12 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_subtract(F.lit(-2147483640), (eid % 20).cast("int")).alias(
             "guarded_sub"
         ),
-        F.try_to_number(
-            F.when(eid % 2 == 0, eid.cast("string")).otherwise(
-                F.concat(F.lit("id-"), F.col("event_type"))
-            ),
-            F.lit("999999999"),
-        )
-        .cast("bigint")
+        # try_cast mirrors the oracle's TRY_CAST exactly; try_to_number
+        # with a digit format would silently cap parseable ids at the
+        # format width — a latent divergence at larger id ranges.
+        F.when(eid % 2 == 0, eid.cast("string"))
+        .otherwise(F.concat(F.lit("id-"), F.col("event_type")))
+        .try_cast("bigint")
         .alias("parsed_id"),
     ).orderBy("event_id")
 

@@ -301,7 +301,7 @@ def test_exact_ntile_core_equals_window_ntile(spark, seed, n_rows, n_buckets):
 @settings(max_examples=20, deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
-    n_noise=st.integers(min_value=50, max_value=2000),
+    n_noise=st.integers(min_value=50, max_value=20000),
     n_heavy=st.integers(min_value=60, max_value=300),
 )
 def test_misra_gries_candidates_are_a_superset(seed, n_noise, n_heavy):
