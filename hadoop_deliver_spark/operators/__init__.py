@@ -32,6 +32,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     sorts,
     sources,
     sugar,
+    surface2,
     sqlsurface,
     sqlx,
     streaming,
