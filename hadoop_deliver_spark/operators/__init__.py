@@ -7,6 +7,7 @@ Importing this package registers every query into
 from hadoop_deliver_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    analytics2,
     arrowx,
     delivery_sync,
     dq,
