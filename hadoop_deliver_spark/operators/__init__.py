@@ -8,6 +8,7 @@ from hadoop_deliver_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
     analytics2,
+    analytics3,
     arrowx,
     delivery_sync,
     dq,

@@ -1039,3 +1039,55 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "scan_binary_files",
+    """
+    SELECT lang,
+           CAST(sum(length(text) + 1) AS BIGINT) AS length,
+           sha256(string_agg(text, chr(10) ORDER BY doc_id) || chr(10))
+               AS sha256_hex
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("scan", "multimodal"),
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion via the `binaryFile` source — the scan
+    path every multimodal (image/audio) pipeline starts from: one row
+    per file with path, length and raw `content` bytes, partition
+    columns discovered from the directory layout. Staged: each lang's
+    docs written as ONE newline-terminated payload file under
+    lang=<l>/ (repartition on lang puts a lang's rows in exactly one
+    task; partitionBy splits its output per lang — so order within
+    the file is the sortWithinPartitions order). The query proves the
+    bytes survive bit-exactly: per-lang octet length + sha2 of the
+    raw content against the oracle's recomputation from the source
+    table. At 100 TB this scan parallelizes per FILE (each blob is
+    one task's row) — decode then happens batch-wise in
+    llm_multimodal_decode's mapInPandas stage."""
+    d = tbl(spark, sf_dir, "documents")
+    base = _stage_dir(sf_dir, "documents_blobs")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            d.select("lang", "doc_id", "text")
+            .repartition(F.col("lang"))
+            .sortWithinPartitions("lang", "doc_id")
+            .drop("doc_id")  # narrow projection: partition order kept
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .text(base)
+        )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(base)
+    )
+    return (
+        files.select(
+            F.col("lang").cast("string").alias("lang"),
+            F.col("length").cast("long").alias("length"),
+            F.lower(F.sha2("content", 256)).alias("sha256_hex"),
+        )
+        .orderBy("lang")
+    )

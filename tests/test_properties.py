@@ -199,6 +199,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # same 1-row bounds aggregate; both interpolation windows partition
     # on event_type
     "ts_interpolate_linear",
+    # the running sum runs over the calendar-bounded day axis (~2.5k
+    # rows for the 7-year fixture span at ANY data scale), never the
+    # fact table — the fact side is reduced by keyed shuffles first
+    "orders_open_backlog",
 }
 
 _plan_cache: dict[str, str] = {}
