@@ -669,3 +669,60 @@ def stream_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@register(
+    "stream_chained_stateful",
+    """
+    WITH pairs AS (
+        SELECT p.ts AS p_ts
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT strftime(date_trunc('hour', p_ts), '%Y-%m-%d %H:00')
+               AS hour,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY 1 ORDER BY hour
+    """,
+    tags=("streaming",),
+)
+def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+
+    capability, long unsupported): a watermarked stream-stream join
+    (click→purchase within 30 min) feeds DIRECTLY into a tumbling
+    1-hour windowed count, both stateful, one pipeline, append mode.
+    Before this worked, pipelines had to materialize the join to
+    storage and run a second job for the aggregate — at 100 TB that
+    is an extra full write+read of the joined stream. Watermarks
+    bound both operators' state; the time-window aggregate consumes
+    the join's event-time column. Inner-join + closed-window output
+    is emission-time-independent, so the result hash-matches the
+    batch twin."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    agg = joined.groupBy(F.window("p_ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    collected = _run_to_memory(agg, spark, sf_dir, "append")
+    return collected.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "n_pairs",
+    ).orderBy("hour")
