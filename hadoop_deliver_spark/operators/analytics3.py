@@ -427,50 +427,15 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers ⇒ associative ⇒ identical to the single-task plan, at
     32-way parallelism. Two tiny collects (splits, 32 block sums)
     are scalars, not data."""
+    from hadoop_deliver_spark.operators.ranking import exact_global_cumsum_desc
+
     li = tbl(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         (F.sum(dec2("l_extendedprice")) * 100).cast("long").alias("rev_cents")
     )
-    nblocks = 32
-    qs = [i / nblocks for i in range(1, nblocks)]
-    splits = sorted(
-        set(
-            rev.agg(
-                F.percentile_approx(
-                    "rev_cents",
-                    F.array(*[F.lit(q) for q in qs]),
-                    F.lit(10_000),
-                ).alias("b")
-            )
-            .collect()[0]
-            .b
-        )
-    )
-    split_arr = F.array(*[F.lit(int(s)) for s in splits])
-    # ascending block id: all revenues in block b+1 are >= all in b
-    blocked = rev.withColumn(
-        "_blk", F.size(F.filter(split_arr, lambda s: s < F.col("rev_cents")))
-    )
-    sums = {
-        r["_blk"]: r["s"]
-        for r in blocked.groupBy("_blk")
-        .agg(F.sum("rev_cents").alias("s"))
-        .collect()
-    }
-    total = sum(sums.values())
-    # offset for block b = total revenue of all strictly HIGHER blocks
-    offsets = {b: sum(s for bb, s in sums.items() if bb > b) for b in sums}
-    off_map = F.create_map(
-        *[F.lit(x) for b, off in offsets.items() for x in (b, int(off))]
-    )
-    w = (
-        Window.partitionBy("_blk")
-        .orderBy(F.col("rev_cents").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (F.sum("rev_cents").over(w) + off_map[F.col("_blk")]).cast("long")
+    total = rev.agg(F.sum("rev_cents")).collect()[0][0]
     return (
-        blocked.withColumn("cum_cents", cum)
+        exact_global_cumsum_desc(rev, "rev_cents", "l_partkey", "cum_cents")
         .select(
             "l_partkey",
             "rev_cents",

@@ -75,3 +75,55 @@ def exact_global_ntile(
             rn <= r * (q + 1), F.floor((rn - 1) / F.lit(q + 1)) + 1
         ).otherwise(F.floor((rn - 1 - r * (q + 1)) / F.lit(q)) + r + 1)
     return blocked.withColumn(out_col, bucket.cast("long")).drop(blk)
+
+
+def exact_global_cumsum_desc(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    out_col: str,
+    nblocks: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = EXACT running sum of ``value_col`` over
+    rows ordered by (value_col DESC, key_col ASC) — the cumulative-sum
+    twin of exact_global_ntile, same block-ranked shape: approx split
+    points block the rows (balance only), the cumsum window partitions
+    BY BLOCK, and each block adds the broadcast exact total of all
+    strictly-higher blocks. Integer values ⇒ associative ⇒ identical
+    to the single-task global window at any parallelism. key_col must
+    be unique (deterministic tiebreak); two tiny collects (splits,
+    per-block sums) are scalars, not data."""
+    qs = [i / nblocks for i in range(1, nblocks)]
+    splits = sorted(
+        set(
+            df.agg(
+                F.percentile_approx(
+                    value_col,
+                    F.array(*[F.lit(q) for q in qs]),
+                    F.lit(10_000),
+                ).alias("b")
+            )
+            .collect()[0]
+            .b
+        )
+    )
+    split_arr = F.array(*[F.lit(int(s)) for s in splits])
+    blk = f"_blk_{out_col}"
+    blocked = df.withColumn(
+        blk, F.size(F.filter(split_arr, lambda s: s < F.col(value_col)))
+    )
+    sums = {
+        r[blk]: r["s"]
+        for r in blocked.groupBy(blk).agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets = {b: sum(s for bb, s in sums.items() if bb > b) for b in sums}
+    off_map = F.create_map(
+        *[F.lit(x) for b, off in offsets.items() for x in (b, int(off))]
+    )
+    w = (
+        Window.partitionBy(blk)
+        .orderBy(F.col(value_col).desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum(value_col).over(w) + off_map[F.col(blk)]).cast("long")
+    return blocked.withColumn(out_col, cum).drop(blk)

@@ -365,3 +365,42 @@ def test_url_canonicalizer_collapses_variants(spark, seed):
     df2 = spark.createDataFrame([(c,)], "url string")
     again = df2.select(_canonicalize(F.col("url")).alias("c")).collect()[0].c
     assert again == c
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_rows=st.integers(min_value=1, max_value=200),
+)
+def test_exact_cumsum_core_equals_window_cumsum(spark, seed, n_rows):
+    """The block-ranked descending cumsum core (operators/ranking.py,
+    used by orders_pareto_abc) must reproduce
+    `sum(value) OVER (ORDER BY value DESC, key ROWS UNBOUNDED
+    PRECEDING)` exactly — duplicate-heavy values, tiny and lopsided
+    block distributions included."""
+    import random
+
+    from pyspark.sql import Window
+
+    from hadoop_deliver_spark.operators.ranking import exact_global_cumsum_desc
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 9)) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "key long, value long")
+    got = {
+        (r.key, r.cum)
+        for r in exact_global_cumsum_desc(
+            df, "value", "key", "cum", nblocks=4
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("value").desc(), F.col("key"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.key, r.cum)
+        for r in df.select(
+            "key", F.sum("value").over(w).cast("long").alias("cum")
+        ).collect()
+    }
+    assert got == want
