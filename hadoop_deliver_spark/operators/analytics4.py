@@ -117,10 +117,14 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioural diversity: Shannon entropy of each user's
     event-type distribution (−Σ p·ln p), the feature that separates
     single-action bots from organic mixed usage (complements
-    events_bot_detection's volume heuristics). Plan: (user, type)
-    hash-agg → user totals → join back — all three stages keyed on
-    user_id, so Catalyst reuses one hash partitioning end to end.
-    float32 surface absorbs ln/summation ulps."""
+    events_bot_detection's volume heuristics). Plan (audited): one
+    fact-sized (user, type) hash-agg — map-side combined to ≤
+    |users|·|types| rows — then the per-user totals (an aggregate of
+    that aggregate) come BACK via a broadcast join, so the entropy
+    term never reshuffles the counts; only the final (user, total)
+    agg re-keys. (If |users| outgrows the broadcast threshold the
+    planner degrades this to a user-keyed shuffle join — still never
+    fact-sized.) float32 surface absorbs ln/summation ulps."""
     e = tbl(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     t = c.groupBy("user_id").agg(F.sum("n").cast("long").alias("total"))
