@@ -726,3 +726,71 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("hour"),
         "n_pairs",
     ).orderBy("hour")
+
+
+@register(
+    "stream_session_dynamic_gap",
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(2700000000 AS BIGINT)
+                    ELSE CAST(1800000000 AS BIGINT) END AS gap_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) + gap_us AS end_us,
+               max(epoch_us(ts) + gap_us) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_end
+        FROM e
+    ),
+    tagged AS (
+        SELECT user_id, ts, end_us,
+               sum(CASE WHEN prev_max_end IS NULL
+                         OR epoch_us(ts) >= prev_max_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS start_us,
+           CAST(max(end_us) AS BIGINT) AS end_us,
+           count(*) AS n_events
+    FROM tagged GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+    tags=("streaming",),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT dynamic gap (purchases hold
+    the session open 45 min, everything else 30) — Spark's
+    session_window accepts a gap EXPRESSION, and the state store
+    merges each event's [ts, ts+gap) interval. The batch oracle
+    derives identical sessions from first principles: an event opens
+    a new session iff its start is at or past the running max of all
+    previous interval ends (prefix-max window), then
+    gaps-and-islands. Session end = max(tsᵢ+gapᵢ) of the merged
+    events on both sides. This is how checkout flows get longer
+    timeouts than browsing without running two session pipelines."""
+    ev = _events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark, sf_dir, "complete").orderBy(
+        "user_id", "start_us"
+    )
