@@ -674,12 +674,14 @@ def stream_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "stream_chained_stateful",
     """
-    WITH pairs AS (
+    WITH wm AS (SELECT max(ts) AS mx FROM events),
+    pairs AS (
         SELECT p.ts AS p_ts
         FROM events c JOIN events p
           ON p.user_id = c.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE p.ts <= (SELECT mx FROM wm) - INTERVAL 4 HOUR
     )
     SELECT strftime(date_trunc('hour', p_ts), '%Y-%m-%d %H:00')
                AS hour,
@@ -697,9 +699,20 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage and run a second job for the aggregate — at 100 TB that
     is an extra full write+read of the joined stream. Watermarks
     bound both operators' state; the time-window aggregate consumes
-    the join's event-time column. Inner-join + closed-window output
-    is emission-time-independent, so the result hash-matches the
-    batch twin."""
+    the join's event-time column. Append mode only emits windows the
+    FINAL watermark has closed — and the chained join delays that
+    watermark by its 30-min range — so the aggregated purchases are
+    bounded 4 h below the stream's max ts (both here and in the
+    oracle): every produced window then provably closes at ANY scale
+    factor, instead of the last in-flight window flickering in and
+    out of the result with the fixture's time span (caught by the
+    sf0.1 full-sim). Inner-join + closed-window output is
+    emission-time-independent, so the result hash-matches the batch
+    twin."""
+    from hadoop_deliver_spark.tables import tbl
+
+    mx = tbl(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(mx) - F.expr("INTERVAL 4 HOURS")
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -718,7 +731,10 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
-    agg = joined.groupBy(F.window("p_ts", "1 hour")).agg(
+    # cutoff AFTER the join: the watermark is tracked on the unfiltered
+    # source columns (filtering the source would freeze it at the
+    # cutoff and re-create the exact flicker this guards against)
+    agg = joined.filter(F.col("p_ts") <= cutoff).groupBy(F.window("p_ts", "1 hour")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
     collected = _run_to_memory(agg, spark, sf_dir, "append")
