@@ -172,6 +172,10 @@ def test_plan_shapes(spark, sf_dir):
     man = plan_of("delivery_manifest")
     assert "l_extendedprice" not in man.split("ReadSchema")[1][:200]
 
+    # join_hint_shuffle_hash: the hint must actually flip the physical
+    # strategy to ShuffledHashJoin (no sort phases), not stay SMJ.
+    assert "ShuffledHashJoin" in plan_of("join_hint_shuffle_hash")
+
 
 # Queries whose plans legitimately contain a nested-loop join node:
 # either the operator IS a cross/theta join by spec, or the build side
