@@ -810,3 +810,77 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, sf_dir, "complete").orderBy(
         "user_id", "start_us"
     )
+
+
+@register(
+    "stream_fanout_sinks",
+    """
+    WITH raw AS (
+        SELECT count(*) AS n_raw,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS raw_cents
+        FROM events
+    ),
+    agged AS (
+        SELECT count(DISTINCT event_type) AS n_types,
+               count(*) AS n_agg_rows_src
+        FROM events
+    )
+    SELECT raw.n_raw, raw.raw_cents, agged.n_types
+    FROM raw, agged
+    """,
+    tags=("streaming",),
+)
+def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, TWO sinks, one checkpoint: foreachBatch persists
+    each micro-batch and writes it to a raw-archive sink AND a
+    per-type rollup sink inside the same batch function — the
+    standard multi-sink fan-out (writeStream.start() twice would
+    read and checkpoint the source twice, with no cross-sink
+    consistency). The persist guarantees the two writes see the SAME
+    batch data; the read-back compares both sinks against the batch
+    answer — raw row count + exact cents from sink A, type count
+    from sink B — proving neither sink dropped nor duplicated a
+    batch."""
+    from hadoop_deliver_spark.tables import tbl
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    n = next(_counter)
+    raw_out = _stage_dir(sf_dir, f"fanout_raw_{n}")
+    agg_out = _stage_dir(sf_dir, f"fanout_agg_{n}")
+    cp = _stage_dir(sf_dir, f"fanout_cp_{n}")
+    for d in (raw_out, agg_out, cp):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def fanout(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(raw_out)
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(agg_out)
+        )
+        batch_df.unpersist()
+
+    q = (
+        ev.writeStream.foreachBatch(fanout)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+
+    raw = spark.read.parquet(raw_out)
+    agg = spark.read.parquet(agg_out)
+    return (
+        raw.agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("raw_cents"),
+        )
+        .crossJoin(agg.agg(F.count_distinct("event_type").alias("n_types")))
+    )
