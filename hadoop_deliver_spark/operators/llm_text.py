@@ -807,3 +807,45 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_dedup_cluster_sizes",
+    _CLUSTERS_CTE
+    + """
+    , sizes AS (
+        SELECT cluster_id, count(*) AS sz FROM clustered
+        GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_purgeable
+    FROM sizes GROUP BY sz ORDER BY cluster_size
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram of the
+    near-dup components — how many singletons, pairs, chains — plus
+    docs covered and the purgeable count (size−1 per cluster), i.e.
+    the corpus-shrink number a dedup run reports before anyone
+    approves the purge. Two tiny aggregates over the component
+    labelling (llm_dedup_clusters' pointer-doubling CC); the
+    histogram key space is bounded by the largest cluster."""
+    from hadoop_deliver_spark.operators.llm import llm_dedup_minhash
+
+    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sizes = (
+        _connected_components(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_purgeable"),
+        )
+        .orderBy("cluster_size")
+    )
