@@ -127,3 +127,54 @@ def exact_global_cumsum_desc(
     )
     cum = (F.sum(value_col).over(w) + off_map[F.col(blk)]).cast("long")
     return blocked.withColumn(out_col, cum).drop(blk)
+
+
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    out_col: str,
+    nblocks: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = EXACT global 1-based rank of rows ordered
+    by (value_col ASC, key_col ASC) — the distributed zipWithIndex
+    done without a single-partition window: approx split points block
+    the rows (balance only), row_number runs PER BLOCK, and the
+    broadcast cumulative block sizes shift each block to its global
+    offset. key_col must be unique (deterministic total order);
+    integer value columns. Same audited shape as exact_global_ntile,
+    exposed for sequence assignment."""
+    qs = [i / nblocks for i in range(1, nblocks)]
+    splits = sorted(
+        set(
+            df.agg(
+                F.percentile_approx(
+                    value_col,
+                    F.array(*[F.lit(q) for q in qs]),
+                    F.lit(10_000),
+                ).alias("b")
+            )
+            .collect()[0]
+            .b
+        )
+    )
+    split_arr = F.array(*[F.lit(int(s)) for s in splits])
+    blk = f"_blk_{out_col}"
+    blocked = df.withColumn(
+        blk, F.size(F.filter(split_arr, lambda s: s < F.col(value_col)))
+    )
+    sizes = sorted(
+        (r[blk], r["count"]) for r in blocked.groupBy(blk).count().collect()
+    )
+    offsets, total = {}, 0
+    for b, cnt in sizes:
+        offsets[b] = total
+        total += cnt
+    off_map = F.create_map(
+        *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
+    )
+    rn = (
+        F.row_number().over(Window.partitionBy(blk).orderBy(value_col, key_col))
+        + off_map[F.col(blk)]
+    )
+    return blocked.withColumn(out_col, rn.cast("long")).drop(blk)

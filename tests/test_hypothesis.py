@@ -404,3 +404,111 @@ def test_exact_cumsum_core_equals_window_cumsum(spark, seed, n_rows):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_rows=st.integers(min_value=1, max_value=150),
+)
+def test_exact_rank_core_equals_window_row_number(spark, seed, n_rows):
+    """exact_global_rank (operators/ranking.py, used by
+    orders_global_seq) must reproduce `row_number() OVER (ORDER BY
+    value, key)` exactly, duplicate-heavy values included."""
+    import random
+
+    from pyspark.sql import Window
+
+    from hadoop_deliver_spark.operators.ranking import exact_global_rank
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 9)) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "key long, value long")
+    got = {
+        (r.key, r.seq)
+        for r in exact_global_rank(df, "value", "key", "seq", nblocks=4).collect()
+    }
+    w = Window.orderBy("value", "key")
+    want = {
+        (r.key, r.seq)
+        for r in df.select(
+            "key", F.row_number().over(w).cast("long").alias("seq")
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_events=st.integers(min_value=1, max_value=60),
+)
+def test_dynamic_session_window_equals_prefix_max_merge(spark, seed, n_events):
+    """Spark's session_window with a PER-EVENT gap expression (batch
+    mode — identical merge semantics to the streaming state store)
+    must equal the prefix-max interval-merge construction that
+    stream_session_dynamic_gap's oracle uses: an event opens a new
+    session iff its start is at or past the running max of all
+    previous interval ends."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 7200), rng.choice([60, 300, 900]))
+        for i in range(n_events)
+    ]
+    df = spark.createDataFrame(rows, "eid long, sec long, gap_s long")
+    ev = df.select(
+        "eid",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "sec",
+        "gap_s",
+    )
+    got = sorted(
+        (r.start_us, r.end_us, r.n)
+        for r in ev.groupBy(
+            F.session_window(
+                "ts", F.concat(F.col("gap_s").cast("string"), F.lit(" seconds"))
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n",
+        )
+        .collect()
+    )
+    # prefix-max merge from first principles
+    w = Window.orderBy("sec", "eid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = ev.withColumn("end_s", F.col("sec") + F.col("gap_s")).withColumn(
+        "prev_max", F.max(F.col("sec") + F.col("gap_s")).over(w)
+    )
+    tagged = flagged.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("sec") >= F.col("prev_max")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.orderBy("sec", "eid").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    want = sorted(
+        (r.start_us, r.end_us, r.n)
+        for r in tagged.groupBy("sid")
+        .agg(
+            (F.min("sec") * 1_000_000).alias("start_us"),
+            (F.max("end_s") * 1_000_000).alias("end_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert got == want
