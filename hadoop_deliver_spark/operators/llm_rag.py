@@ -138,3 +138,78 @@ def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
         """
     )
+
+
+@register(
+    "llm_split_leakage",
+    None,  # filled below after import to reuse the exact-Jaccard CTE
+    tags=("llm", "dq", "split"),
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit — operator #300 ties the dedup and
+    split families together: every near-dup pair (the MinHash+refine
+    pair set of llm_dedup_minhash) is joined to BOTH members' split
+    assignments (llm_dataset_split's md5-nibble rule) and counted per
+    ordered split pair. Exact duplicates cannot straddle splits
+    (content-hash keying), but NEAR-duplicates can — those
+    cross-split counts are exactly the contamination a held-out set
+    must report before anyone trusts an eval number. The pair set is
+    candidates-only (banded LSH), the split map is a map-side
+    expression — the audit costs one small join more than the dedup
+    run itself."""
+    from hadoop_deliver_spark.operators.llm import llm_dedup_minhash
+
+    d = tbl(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(nib.isin("c", "d"), "val")
+        .when(nib.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    assign = d.select("doc_id", split.alias("split"))
+    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leakage", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _install_split_leakage_oracle() -> None:
+    """Reuse llm.py's exact-Jaccard pair CTE for the leakage oracle so
+    the pair definition cannot drift between the two operators."""
+    from hadoop_deliver_spark.operators.llm import _EXACT_JACCARD_SQL
+    from hadoop_deliver_spark.registry import REGISTRY
+
+    REGISTRY["llm_split_leakage"].oracle = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_SQL})
+        WHERE jaccard >= 0.5
+    ),
+    assign AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                    WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           count(*) AS n_pairs,
+           (a.split != b.split) AS is_leakage
+    FROM pairs p
+    JOIN assign a ON a.doc_id = p.doc_a
+    JOIN assign b ON b.doc_id = p.doc_b
+    GROUP BY 1, 2 ORDER BY split_a, split_b
+    """
+
+
+_install_split_leakage_oracle()
