@@ -186,3 +186,104 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", slug("p_name", "p_size").alias("sku")
     ).orderBy("p_partkey")
+
+
+@register(
+    "delivery_gdpr_erasure",
+    """
+    WITH targets AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0
+    ),
+    kept AS (
+        SELECT e.* FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM targets t
+                          WHERE t.user_id = e.user_id)
+    )
+    SELECT (SELECT count(*) FROM events) AS n_before,
+           (SELECT count(*) FROM targets) AS n_subjects,
+           (SELECT count(*) FROM events) - (SELECT count(*) FROM kept)
+               AS n_erased,
+           (SELECT count(*) FROM kept) AS n_after,
+           (SELECT CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            FROM kept) AS kept_cents
+    FROM (SELECT 1)
+    """,
+    tags=("delivery", "dq"),
+)
+def delivery_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure: a deterministic subject set
+    (user_id ≡ 0 mod 13 stands in for the legal request list) is
+    anti-joined out of the delivered events, and the published
+    surface is the erasure LEDGER — subjects, rows erased, rows
+    kept, post-erasure checksum — the audit record a compliance
+    process files. The subject list broadcasts (request lists are
+    tiny); one anti-join pass rewrites the delivery; nothing is
+    updated in place (erasure = rewrite + ledger, the only model
+    append-only storage supports). Exact integer surfaces."""
+    e = tbl(spark, sf_dir, "events")
+    targets = (
+        e.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    )
+    kept = e.join(F.broadcast(targets), "user_id", "left_anti")
+    n_before = e.count()
+    n_subjects = targets.count()
+    row = kept.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("kept_cents"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                n_subjects,
+                n_before - row.n_after,
+                row.n_after,
+                row.kept_cents,
+            )
+        ],
+        "n_before long, n_subjects long, n_erased long, n_after long, "
+        "kept_cents long",
+    )
+
+
+@register(
+    "scan_csv_reordered_columns",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("scan",),
+)
+def scan_csv_reordered_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reordered-feed ingestion: the staged CSV carries its columns
+    in a DIFFERENT physical order (acctbal, name, suppkey,
+    nationkey) than the canonical schema. Spark CSV binds an
+    explicit schema POSITIONALLY — so the read declares the file's
+    physical order and projects back to canonical, and
+    enforceSchema=false makes Spark VALIDATE the header against the
+    declared names: an upstream reshuffle the reader was not told
+    about fails loudly instead of silently loading balances into
+    keys (the actual failure mode of headerless positional feeds
+    like scan_kv_tsv). Read-back must equal the source bit-exactly
+    (doubles round-trip via shortest-repr)."""
+    from hadoop_deliver_spark.operators.sources import (
+        _ensure_staged,
+        _stage_dir,
+    )
+
+    sup = tbl(spark, sf_dir, "supplier")
+    path = _ensure_staged(
+        sup.select("s_acctbal", "s_name", "s_suppkey", "s_nationkey"),
+        _stage_dir(sf_dir, "supplier_csv_reordered"),
+        "csv",
+        header=True,
+    )
+    return (
+        spark.read.option("header", True)
+        .option("enforceSchema", False)  # validate header vs declared names
+        .schema(
+            "s_acctbal DOUBLE, s_name STRING, s_suppkey BIGINT, "
+            "s_nationkey INT"
+        )
+        .csv(path)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
