@@ -1,0 +1,204 @@
+"""§2 extensions, thirty-fourth wave — ordered string aggregation,
+locale sentence splitting, polymorphic UDTFs, weighted smoothing.
+
+- agg_listagg: ANSI LISTAGG ... WITHIN GROUP (ORDER BY …) — ordered
+  string aggregation as a first-class aggregate (agg_collect's
+  collect_list+array_join is the pre-ANSI workaround; this is the
+  standard spelling, new in Spark 4).
+- fn_sentences: the sentences() locale text splitter — sentence/word
+  nested arrays, surfaced as scalars.
+- udtf_analyze: POLYMORPHIC Python UDTF — the output schema is
+  computed at plan time by a static analyze() from the call's
+  literal arguments (Spark 4); here top_words(text, k) returns k
+  columns, k decided per query.
+- ts_weighted_moving_avg: 3-point weighted moving average with
+  INTEGER weights (3,2,1)/6 over daily revenue — the linear-decay
+  smoother kept exact by scaling (×6 numerator stays integral).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+
+@register(
+    "agg_listagg",
+    """
+    SELECT c_mktsegment,
+           string_agg(c_name, '|' ORDER BY c_custkey DESC) AS top_names,
+           count(*) AS n
+    FROM (
+        SELECT c_mktsegment, c_name, c_custkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_custkey DESC) AS rnk
+        FROM customer
+    ) WHERE rnk <= 5
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (ORDER BY ...): ordered string
+    aggregation as a standard aggregate (Spark 4) — agg_collect's
+    collect_list → array_sort → array_join pipeline is the pre-ANSI
+    workaround this replaces; the WITHIN GROUP order is part of the
+    aggregate itself, so the concatenation order is deterministic by
+    construction, not by a separate canonicalization step. Input
+    capped to the top-5 names per segment (keyed rank over the dim)
+    so the string surface stays bounded."""
+    c = tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_custkey").desc())
+    top = c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    top.createOrReplaceTempView("hds_la_top")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_custkey DESC)
+                   AS top_names,
+               count(*) AS n
+        FROM hds_la_top
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "fn_sentences",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           string_split(text, ' ')[1] AS first_word,
+           string_split(text, ' ')[-1] AS last_word
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("fn", "string"),
+)
+def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sentences() locale-aware text segmenter (BreakIterator
+    under the hood): text → array of sentences, each an array of
+    words. The fixture corpus is unpunctuated ASCII, so exactly one
+    sentence whose words equal the whitespace split — which is what
+    makes the oracle writable from first principles (punctuated
+    multilingual text would be locale-dependent and rows-only).
+    Surfaced as scalars from the nested array: word count, first and
+    last word. Map-only."""
+    d = tbl(spark, sf_dir, "documents")
+    words = F.sentences("text")[0]  # single sentence by construction
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "udtf_analyze",
+    """
+    SELECT doc_id,
+           coalesce(string_split(text, ' ')[1], '') AS w0,
+           coalesce(string_split(text, ' ')[2], '') AS w1,
+           coalesce(string_split(text, ' ')[3], '') AS w2
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the static analyze() hook
+    computes the OUTPUT SCHEMA at plan time from the call's literal
+    arguments — top_words(text, 3) returns three columns, and a
+    caller asking for 5 would get five, from one registration.
+    udtf_python's fixed returnType is the non-polymorphic baseline;
+    analyze() is what makes generic table functions (unpivot-n,
+    split-n, parse-n) writable once. Arrow-batched like every Python
+    boundary; the lateral join is a generator, not a shuffle."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TopWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"w{i}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            ws = (text or "").split()[:k]
+            ws += [""] * (k - len(ws))
+            yield tuple(ws)
+
+    spark.udtf.register("hds_top_words", TopWords)
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("hds_ua_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.w0, t.w1, t.w2
+        FROM hds_ua_docs d, LATERAL hds_top_words(d.text, 3) t
+        ORDER BY d.doc_id
+        """
+    )
+
+
+@register(
+    "ts_weighted_moving_avg",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, cents,
+               lag(cents, 1) OVER w AS c1,
+               lag(cents, 2) OVER w AS c2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+           CASE WHEN c2 IS NOT NULL THEN 3 * cents + 2 * c1 + c2 END
+               AS wma_x6
+    FROM lagged ORDER BY event_type, day
+    """,
+    tags=("timeseries",),
+)
+def ts_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-decay weighted moving average over daily revenue:
+    weights (3,2,1)/6 across the last three observed days — the
+    smoother dashboards use when a plain mean lags turns too much.
+    Exactness by scaling: the published surface is the ×6 numerator
+    (3·x₀+2·x₁+x₂), a pure BIGINT — the /6 division is the consumer's
+    display step, so no float ever enters the pipeline (NULL until a
+    full 3-day history exists, same cold-start rule as
+    events_velocity_alerts). One keyed aggregate + two lags on one
+    type-keyed window pass."""
+    e = tbl(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("c1", F.lag("cents", 1).over(w)).withColumn(
+        "c2", F.lag("cents", 2).over(w)
+    )
+    return lagged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.when(
+            F.col("c2").isNotNull(),
+            3 * F.col("cents") + 2 * F.col("c1") + F.col("c2"),
+        ).alias("wma_x6"),
+    ).orderBy("event_type", "day")
