@@ -18,6 +18,11 @@ locale sentence splitting, polymorphic UDTFs, weighted smoothing.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import Tuple
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -202,3 +207,141 @@ def ts_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             3 * F.col("cents") + 2 * F.col("c1") + F.col("c2"),
         ).alias("wma_x6"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "win_range_interval",
+    """
+    WITH c AS (
+        SELECT event_id, event_type, ts,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_day_cents
+    FROM c ORDER BY event_id
+    """,
+    tags=("window",),
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a calendar INTERVAL bound: per event, the
+    trailing-24h revenue of its type — the time-native spelling of
+    win_range_frame (which demonstrates the same frame on numeric
+    epoch seconds). RANGE semantics include PEERS: events sharing a
+    timestamp contribute to each other's frame on both engines,
+    which a ROWS frame would get wrong. Exact integer cents; one
+    type-keyed window pass whose state per partition is bounded by
+    the 24h horizon, not history."""
+    e = tbl(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(-86400 * 1000000, 0)  # µs epoch range ≡ 1 day interval
+    )
+    # rangeBetween on a timestamp orderBy needs the interval API: use
+    # SQL for the INTERVAL spelling (the point of this operator)
+    c.createOrReplaceTempView("hds_wri_events")
+    return spark.sql(
+        """
+        SELECT event_id, event_type,
+               CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS trailing_day_cents
+        FROM hds_wri_events ORDER BY event_id
+        """
+    )
+
+
+@register(
+    "orders_revenue_waterfall",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                         AS BIGINT)) AS BIGINT) AS gross_cents,
+           CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(4,2)) * 100)
+                         AS BIGINT)) AS BIGINT) AS discount_cents,
+           CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100)
+                         AS BIGINT)) AS BIGINT) AS net_cents,
+           CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                         * CAST(l_tax AS DECIMAL(4,2)) * 100)
+                         AS BIGINT)) AS BIGINT) AS tax_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("analytics",),
+)
+def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per return flag: gross list value → discount
+    given → net → tax collected (the Q1 component family completed
+    with the rarely-touched l_tax column). Every step multiplies
+    DECIMAL-recovered exact values (price 18,2 × discount 4,2 stays
+    inside DECIMAL exactness) and truncates to integer cents PER ROW
+    before summing — the same per-row quantization on both engines,
+    so the totals are associative-exact. One map-side-combined
+    aggregate over a 3-value key."""
+    li = tbl(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    cents = lambda e: F.sum(F.floor(e * 100).cast("long")).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            cents(price).alias("gross_cents"),
+            cents(price * disc).alias("discount_cents"),
+            cents(price * (F.lit(1) - disc)).alias("net_cents"),
+            cents(price * (F.lit(1) - disc) * tax).alias("tax_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(((l_extendedprice * (1 - l_discount)) * 1.21) * 100) / 100
+               AS gross_up
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf",),
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[Series] → Iterator[Series]):
+    the variant that amortizes EXPENSIVE ONE-TIME SETUP (model load,
+    dictionary build — here a constant uplift factor standing in for
+    it) across all Arrow batches of a partition, instead of paying it
+    per batch like the plain series form (udf_pandas_scalar). Same
+    vectorized per-batch math; the oracle mirrors the arithmetic in
+    SQL. At 100 TB this is the tier every model-scoring UDF should
+    use — setup cost scales with partitions, not batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gross_up(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        import numpy as np
+
+        uplift = 1.21  # expensive setup would happen once, here
+        for price, disc in it:
+            # floor-quantize (pandas .round is half-even, SQL round is
+            # half-away — floor is the only mode both sides share)
+            yield np.floor((price * (1 - disc) * uplift) * 100) / 100
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gross_up("l_extendedprice", "l_discount").alias("gross_up"),
+    ).orderBy("l_orderkey", "l_linenumber")
