@@ -139,8 +139,7 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bigrams AS (
         SELECT a[i] AS w1, a[i + 1] AS w2
-        FROM toks, range(1, 600) t(i)
-        WHERE i < len(a)
+        FROM toks, LATERAL unnest(range(1, len(a))) AS t(i)
     ),
     c2 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
     c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY w1),

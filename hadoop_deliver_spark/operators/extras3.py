@@ -296,16 +296,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    try:
+        tri = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .count()
         )
-        .count()
-    )
-    n_nodes = e.select("user_id").distinct().count()
-    n_edges = edges.count()
+        n_nodes = e.select("user_id").distinct().count()
+        n_edges = edges.count()
+    finally:
+        # all three actions that needed the cache have run; without this
+        # the co-activity edge set (quadratic per day block) stays pinned
+        # in executor storage for the rest of the session
+        edges.unpersist()
     return spark.createDataFrame(
         [(n_nodes, n_edges, tri)], "n_nodes long, n_edges long, n_triangles long"
     )

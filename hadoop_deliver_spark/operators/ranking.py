@@ -21,6 +21,50 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _approx_splits(df: DataFrame, value_col: str, nblocks: int) -> list[int]:
+    """Deduplicated percentile_approx split points for block
+    assignment. On an EMPTY input percentile_approx returns NULL —
+    guard it to [] (a single block), which degrades the block-ranked
+    construction gracefully to the plain windowed form instead of a
+    driver-side TypeError before any Spark error could explain it."""
+    qs = [i / nblocks for i in range(1, nblocks)]
+    got = (
+        df.agg(
+            F.percentile_approx(
+                value_col,
+                F.array(*[F.lit(q) for q in qs]),
+                F.lit(10_000),
+            ).alias("b")
+        )
+        .collect()[0]
+        .b
+    )
+    if got is None:
+        return []
+    return sorted({int(s) for s in got})
+
+
+def _split_arr(splits: list[int]) -> Column:
+    """Split points as a literal array; typed even when empty (a bare
+    F.array() is array<null>, which the `<` inside the block-assignment
+    lambda cannot compare against numeric columns)."""
+    if not splits:
+        return F.array().cast("array<bigint>")
+    return F.array(*[F.lit(s) for s in splits])
+
+
+def _offset_map(offsets: dict[int, int]) -> Column:
+    """block id → global offset as a literal map; typed even when empty
+    (a bare F.create_map() is map<void,void>, which cannot be indexed
+    by the INT block column — only reachable on an empty input, where
+    the lookup never evaluates on any row anyway)."""
+    if not offsets:
+        return F.create_map().cast("map<int,bigint>")
+    return F.create_map(
+        *[F.lit(x) for b, off in offsets.items() for x in (b, int(off))]
+    )
+
+
 def exact_global_ntile(
     df: DataFrame,
     value_col: str,
@@ -32,21 +76,8 @@ def exact_global_ntile(
     """Append ``out_col`` = exact global ntile(n_buckets) of rows
     ordered by (value_col, key_col) — integer-valued value columns;
     key_col must be unique (the deterministic tiebreak)."""
-    qs = [i / nblocks for i in range(1, nblocks)]
-    splits = sorted(
-        set(
-            df.agg(
-                F.percentile_approx(
-                    value_col,
-                    F.array(*[F.lit(q) for q in qs]),
-                    F.lit(10_000),
-                ).alias("b")
-            )
-            .collect()[0]
-            .b
-        )
-    )
-    split_arr = F.array(*[F.lit(int(s)) for s in splits])
+    splits = _approx_splits(df, value_col, nblocks)
+    split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
     blocked = df.withColumn(
         blk, F.size(F.filter(split_arr, lambda s: s < F.col(value_col)))
@@ -58,9 +89,7 @@ def exact_global_ntile(
     for b, cnt in sizes:
         offsets[b] = total
         total += cnt
-    off_map = F.create_map(
-        *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
-    )
+    off_map = _offset_map(offsets)
     rn = (
         F.row_number().over(
             Window.partitionBy(blk).orderBy(value_col, key_col)
@@ -93,21 +122,8 @@ def exact_global_cumsum_desc(
     to the single-task global window at any parallelism. key_col must
     be unique (deterministic tiebreak); two tiny collects (splits,
     per-block sums) are scalars, not data."""
-    qs = [i / nblocks for i in range(1, nblocks)]
-    splits = sorted(
-        set(
-            df.agg(
-                F.percentile_approx(
-                    value_col,
-                    F.array(*[F.lit(q) for q in qs]),
-                    F.lit(10_000),
-                ).alias("b")
-            )
-            .collect()[0]
-            .b
-        )
-    )
-    split_arr = F.array(*[F.lit(int(s)) for s in splits])
+    splits = _approx_splits(df, value_col, nblocks)
+    split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
     blocked = df.withColumn(
         blk, F.size(F.filter(split_arr, lambda s: s < F.col(value_col)))
@@ -117,9 +133,7 @@ def exact_global_cumsum_desc(
         for r in blocked.groupBy(blk).agg(F.sum(value_col).alias("s")).collect()
     }
     offsets = {b: sum(s for bb, s in sums.items() if bb > b) for b in sums}
-    off_map = F.create_map(
-        *[F.lit(x) for b, off in offsets.items() for x in (b, int(off))]
-    )
+    off_map = _offset_map(offsets)
     w = (
         Window.partitionBy(blk)
         .orderBy(F.col(value_col).desc(), F.col(key_col))
@@ -144,21 +158,8 @@ def exact_global_rank(
     offset. key_col must be unique (deterministic total order);
     integer value columns. Same audited shape as exact_global_ntile,
     exposed for sequence assignment."""
-    qs = [i / nblocks for i in range(1, nblocks)]
-    splits = sorted(
-        set(
-            df.agg(
-                F.percentile_approx(
-                    value_col,
-                    F.array(*[F.lit(q) for q in qs]),
-                    F.lit(10_000),
-                ).alias("b")
-            )
-            .collect()[0]
-            .b
-        )
-    )
-    split_arr = F.array(*[F.lit(int(s)) for s in splits])
+    splits = _approx_splits(df, value_col, nblocks)
+    split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
     blocked = df.withColumn(
         blk, F.size(F.filter(split_arr, lambda s: s < F.col(value_col)))
@@ -170,9 +171,7 @@ def exact_global_rank(
     for b, cnt in sizes:
         offsets[b] = total
         total += cnt
-    off_map = F.create_map(
-        *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
-    )
+    off_map = _offset_map(offsets)
     rn = (
         F.row_number().over(Window.partitionBy(blk).orderBy(value_col, key_col))
         + off_map[F.col(blk)]

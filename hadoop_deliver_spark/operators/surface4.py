@@ -241,11 +241,6 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts")
-        .rangeBetween(-86400 * 1000000, 0)  # µs epoch range ≡ 1 day interval
-    )
     # rangeBetween on a timestamp orderBy needs the interval API: use
     # SQL for the INTERVAL spelling (the point of this operator)
     c.createOrReplaceTempView("hds_wri_events")

@@ -512,3 +512,34 @@ def test_dynamic_session_window_equals_prefix_max_merge(spark, seed, n_events):
         .collect()
     )
     assert got == want
+
+
+def test_ranking_cores_survive_empty_and_tiny_inputs(spark):
+    """ADVICE r4: percentile_approx returns NULL on an empty input, so
+    the splits collect must degrade to a single block instead of a
+    driver-side TypeError. Covers all three cores at n=0 and n=1
+    (below every fuzz range)."""
+    from hadoop_deliver_spark.operators.ranking import (
+        exact_global_cumsum_desc,
+        exact_global_ntile,
+        exact_global_rank,
+    )
+
+    empty = spark.createDataFrame([], "value long, key long")
+    assert exact_global_ntile(empty, "value", "key", 5, "b").collect() == []
+    assert exact_global_rank(empty, "value", "key", "r").collect() == []
+    assert (
+        exact_global_cumsum_desc(empty, "value", "key", "c").collect() == []
+    )
+
+    one = spark.createDataFrame([(7, 1)], "value long, key long")
+    assert [
+        (r.b, r.r, r.c)
+        for r in exact_global_cumsum_desc(
+            exact_global_rank(
+                exact_global_ntile(one, "value", "key", 5, "b"),
+                "value", "key", "r",
+            ),
+            "value", "key", "c",
+        ).collect()
+    ] == [(1, 1, 7)]
