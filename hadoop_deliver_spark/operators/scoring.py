@@ -113,14 +113,26 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classification: every held-out probe (vec_id % 10 = 0) gets
     the majority label of its 5 nearest labeled neighbors by cosine.
-    Probes ride as a broadcast literal array exploded against the
-    labeled base — the llm_sim_bruteforce shape, one map-side pass,
-    no join node — then per-probe float32-ranked top-5 (id tiebreak:
-    last-ulp drift cannot change membership) and an integer
-    majority vote (score = cnt·100 − label breaks vote ties toward
-    the smaller label, engine-identically). The vote aggregate's key
-    space is probes × labels — trivially small at any corpus
-    scale."""
+    Probes stay a DATAFRAME and ride through an explicit
+    F.broadcast() nested-loop join against the labeled base — one
+    map-side pass per base partition, nothing collected to the
+    driver. (The round-4 version collected the probe rows and inlined
+    them as plan literals; the probe set here is a fixed FRACTION of
+    the corpus, so at 100× that meant a driver OOM and a multi-GB
+    expression tree. The broadcast join keeps the identical pairing
+    work but ships probes through the torrent broadcast path, which
+    is built for exactly this. Its BroadcastNestedLoopJoin node is
+    allowlisted in the plan sweep with this argument; exact top-k
+    must consider arbitrarily-low cosines, so no grid/LSH equi-join
+    can replace the full pass.) Then per-probe float32-ranked top-5
+    (id tiebreak: last-ulp drift cannot change membership) and an
+    integer majority vote (score = cnt·100 − label breaks vote ties
+    toward the smaller label, engine-identically). The vote
+    aggregate's key space is probes × labels — trivially small at
+    any corpus scale. Scale contract: the PROBE side must fit in a
+    broadcast (spark.sql.broadcastTimeout / 8GB hard cap governs);
+    for corpus-scale probe sets shard the probes and union the
+    per-shard classifications."""
     emb = (
         tbl(spark, sf_dir, "embeddings")
         .select(
@@ -130,27 +142,13 @@ def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nrm", _norm("e"))
     )
-    probe_rows = emb.filter(F.col("vec_id") % 10 == 0).collect()
+    probes = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
     base = emb.filter(F.col("vec_id") % 10 != 0)
-    probe_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r.vec_id).alias("probe_id"),
-                F.array(*[F.lit(x) for x in r.e]).alias("pe"),
-                F.lit(r.nrm).alias("pnrm"),
-            )
-            for r in probe_rows
-        ]
-    )
-    joined = (
-        base.select(
-            "vec_id", "label", "e", "nrm", F.explode(probe_arr).alias("p")
-        )
-        .select(
-            "vec_id", "label", "e", "nrm",
-            "p.probe_id", "p.pe", "p.pnrm",
-        )
-    )
+    joined = base.join(F.broadcast(probes))
     scored = _with_cosine(joined, "pe", "e", "pnrm", "nrm").select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -4,6 +4,8 @@ oracle-parity ring can miss."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from hadoop_deliver_spark.tables import dec2, tbl
@@ -187,6 +189,12 @@ _NESTED_LOOP_OK = {
     "llm_sim_ivf",         # 10-row centroid table broadcast
     "ts_resample_gapfill", # 1-row min/max bounds broadcast for the grid
     "ts_interpolate_linear",  # same 1-row bounds broadcast as gapfill
+    # exact-kNN probe pass: the probe DataFrame is broadcast-small by
+    # contract and exact top-k must consider arbitrarily-low cosines,
+    # so no grid/LSH equi-join can replace the one full pass; the r4
+    # literal-array version was a driver-collect scale bug (see the
+    # operator docstring), the broadcast NLJ is the honest shape
+    "llm_knn_classify",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -235,6 +243,90 @@ def _registry_plans(spark, sf_dir):
             )
         _plan_cache.update(built)
     return _plan_cache
+
+
+# Queries that may explode a LARGE literal array: the round-4 verdict
+# noted that moving a broadcast pairing out of a join node and into
+# explode(<literal array>) dodges the NLJ sweep while doing identical
+# work — this companion sweep closes that blind spot.
+_LITERAL_EXPLODE_OK = {
+    # probes are a FIXED 1% sample, broadcast-small by documented
+    # contract; the literal ride-along is the one-pass exact-top-k shape
+    "llm_sim_bruteforce",
+}
+
+# Trivial literal explodes (grid neighbor offsets [-1,0,1], small enum
+# arrays) are fine — only a literal whose printed form exceeds this is
+# a smuggled broadcast table.
+_LITERAL_EXPLODE_LIMIT = 512
+
+
+def _max_literal_explode(plan: str) -> int:
+    """Length of the longest literal array argument to explode() in a
+    formatted plan ('explode([' only matches a literal — a column
+    argument prints as explode(name#id)). Bracket-matched so nested
+    struct/array literals are measured whole."""
+    best = 0
+    for m in re.finditer(r"(?:explode|posexplode)\(\[", plan):
+        start = m.end() - 1
+        depth = 0
+        for i in range(start, len(plan)):
+            c = plan[i]
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if depth == 0:
+                    best = max(best, i - start)
+                    break
+        else:
+            # truncated plan string: the literal alone overflowed the
+            # plan printer — definitely over any sane limit
+            best = max(best, len(plan) - start)
+    return best
+
+
+def test_no_smuggled_literal_explode_tables(spark, sf_dir):
+    """Registry-wide scale guard #3: no batch query may explode a
+    large LITERAL array (a broadcast table smuggled into the plan as
+    an expression — it dodges the NLJ sweep but still means the
+    driver materialized the data and baked it into the plan, which
+    grows with it). Companion to test_no_accidental_nested_loop_joins;
+    allowlist documented above."""
+    offenders = [
+        (name, _max_literal_explode(plan))
+        for name, plan in _registry_plans(spark, sf_dir).items()
+        if name not in _LITERAL_EXPLODE_OK
+        and _max_literal_explode(plan) > _LITERAL_EXPLODE_LIMIT
+    ]
+    assert not offenders, f"literal-array explode leaked into: {offenders}"
+
+
+def test_literal_explode_detector_fires_on_synthetic_offender(spark):
+    """The detector must actually flag the dodge it exists for: a plan
+    that explodes a 200-element literal array (as the round-4
+    llm_knn_classify did with collected probe rows)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(10)
+    lit_arr = F.array(*[F.lit(float(i)) for i in range(200)])
+    df = base.select("id", F.explode(lit_arr).alias("x"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert _max_literal_explode(plan) > _LITERAL_EXPLODE_LIMIT, plan[:500]
+    # and the trivial grid-offsets shape stays under the limit
+    small = base.select(
+        "id", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("d")
+    )
+    small_plan = small._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert _max_literal_explode(small_plan) <= _LITERAL_EXPLODE_LIMIT
 
 
 def test_no_accidental_nested_loop_joins(spark, sf_dir):
