@@ -436,12 +436,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact keyed dedup keeping the earliest row per key — the
     deterministic form of dropDuplicates (whose survivor choice is
     arrival-order-dependent). One shuffle on the dedup key; state per
-    group is O(1) via the rank-filter pattern."""
+    group is O(1) via the rank-filter pattern. Core: api.keyed_dedup
+    (column-parameterized, reusable on any table)."""
+    from hadoop_deliver_spark.api import keyed_dedup
+
     ev = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        keyed_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"])
         .select("user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "event_type")
     )

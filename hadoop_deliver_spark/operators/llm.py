@@ -39,23 +39,14 @@ def _tokens(d: DataFrame) -> DataFrame:
 
 
 def _shingle_sets(d: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingles array<string>) — distinct k-token shingles,
-    built columnar (transform over a sequence of start offsets), no
-    UDF. At 100 TB this is a map-only projection. Docs shorter than k
-    tokens get an EMPTY set: without the guard, F.sequence(0, n−k)
-    DESCENDS for n<k (default step −1) and would fabricate shingles;
-    DuckDB's range(1, n−k+1) is already empty there, so the guard is
-    what keeps the two engines identical on degenerate docs."""
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    sh = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
+    """(doc_id, shingles array<string>) over the documents fixture —
+    thin binding of the column-parameterized public core
+    (api.shingle_sets), which carries the short-doc guard rationale;
+    DuckDB's range(1, n−k+1) is already empty for n<k, so that guard
+    is what keeps the two engines identical on degenerate docs."""
+    from hadoop_deliver_spark.api import shingle_sets
+
+    return shingle_sets(d, "doc_id", "text", k=k)
 
 
 _SHINGLE_SET_SQL = """
@@ -143,78 +134,22 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact refinement makes the output engine-checkable: the
     oracle computes ALL pairs with exact J ≥ 0.5 in DuckDB from first
     principles; equality holds unless banding missed a qualifying
-    pair (probability ~1e-8 each). Scale shape: shingle explode is
-    map-only; banding shuffles 64 small (band, hash) keys per doc
-    instead of all-pairs; the quadratic step only ever touches
-    same-bucket candidates."""
-    d = tbl(spark, sf_dir, "documents")
-    sets = _shingle_sets(d).cache()
+    pair (probability ~1e-8 each). The full pipeline is the public
+    core api.minhash_pairs (column-parameterized, with the scale-shape
+    and HOF-lambda-collapse rationale documented there); this operator
+    binds it to the documents fixture."""
+    from hadoop_deliver_spark.api import minhash_pairs
 
-    # 128 minhash values per doc: explode distinct shingles once, then
-    # min(xxhash64(salt_i ‖ shingle)) per permutation as 128 parallel
-    # aggregates — one shuffle of |docs| rows, map-side combined.
-    # (NOT computed with transform()-lambdas: per-iteration literals
-    # captured inside PySpark HOF lambdas collapse to one shared
-    # expression — measured on 4.1.2 — which silently yields 128
-    # identical permutations.)
-    inv = sets.select("doc_id", F.explode("shingles").alias("sh"))
-    minhash = inv.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
-            for i in range(128)
-        ]
-    )
-    # 64 bands of 2 rows → (doc, band, band_hash)
-    bands = minhash.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
-                    )
-                    for b in range(64)
-                ]
-            )
-        ).alias("band", "bh"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("band").alias("band_a"),
-        F.col("bh").alias("bh_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band").alias("band_b"),
-        F.col("bh").alias("bh_b"),
-    )
-    cands = (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("bh_a") == F.col("bh_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # exact-Jaccard refinement of the candidate pairs
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    refined = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        minhash_pairs(d, "doc_id", "text", threshold=0.5)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             "jaccard",
-            F.col("n_inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
     )
-    return refined.select(
-        "doc_a", "doc_b", F.col("jaccard").cast("float").alias("jaccard")
-    ).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -227,19 +162,11 @@ _COS_SQL = """
 """
 
 
-def _dot(x, y):
-    """Vector dot product as a pure Column expression."""
-    return F.aggregate(
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def _norm(e):
-    """L2 norm — compute once per VECTOR before any pair join: HOF
-    expressions don't fully codegen, so re-deriving self-dot-products
-    per pair triples the dominant cost (measured 3× on the all-pairs
-    embedding dedup)."""
-    return F.sqrt(_dot(e, e))
+# vector primitives live on the public surface (api.dot / api.vec_norm,
+# which carry the compute-norms-once rationale); aliased here for the
+# similarity operators' internal use
+from hadoop_deliver_spark.api import dot as _dot  # noqa: E402
+from hadoop_deliver_spark.api import vec_norm as _norm  # noqa: E402
 
 
 def _with_cosine(joined: DataFrame, ea: str, eb: str, na: str, nb: str) -> DataFrame:

@@ -330,76 +330,21 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _grid_cosine_pairs(emb: DataFrame, tau: float) -> DataFrame:
-    """(vec_id, e:array<double>) → all pairs with cos ≥ tau via the
-    lossless grid equi-join described in llm_dedup_embedding. Factored
-    out so the property suite can verify grid-vs-brute-force equality
-    at a lower tau where the fixture corpus actually has pairs."""
-    import math
+    """(vec_id, e:array<double>) → all pairs with cos ≥ tau — thin
+    binding of the public core api.cosine_pairs (the lossless grid
+    equi-join: δ-Lipschitz cell assignment, 9-replica neighbor join,
+    projection-distance prefilter; full rationale on that function).
+    Factored out so the property suite can verify grid-vs-brute-force
+    equality at a lower tau where the fixture corpus has pairs."""
+    from hadoop_deliver_spark.api import cosine_pairs
 
-    from hadoop_deliver_spark.operators.llm import _dot, _norm
-
-    # δ is the exact 1-Lipschitz bound; the cell width carries 1%
-    # headroom ON TOP of it. Compute δ first and derive w from it —
-    # the other direction (w/1.01) does not round-trip in float64 and
-    # could leave the prefilter an ulp BELOW the true bound.
-    delta = math.sqrt(max(2.0 - 2.0 * tau, 1e-12))
-    w = delta * 1.01
-    emb = emb.withColumn("nrm", _norm("e"))
-    d = F.sqrt(F.size("e").cast("double"))
-    # two fixed unit directions: all-ones/√d and alternating ±1/√d
-    p1 = F.aggregate("e", F.lit(0.0), lambda acc, v: acc + v) / (F.col("nrm") * d)
-    p2 = F.aggregate(
-        F.transform(
-            "e",
-            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / (F.col("nrm") * d)
-    cells = (
-        emb.withColumn("p1", p1)
-        .withColumn("p2", p2)
-        .withColumn("c1", F.floor(F.col("p1") / w).cast("int"))
-        .withColumn("c2", F.floor(F.col("p2") / w).cast("int"))
-    )
-    a = cells.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"), F.col("p1").alias("p1a"),
-        F.col("p2").alias("p2a"), "c1", "c2",
-    )
-    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    b = (
-        cells.withColumn("d1", F.explode(off))
-        .withColumn("d2", F.explode(off))
-        .select(
-            F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"), F.col("p1").alias("p1b"),
-            F.col("p2").alias("p2b"),
-            (F.col("c1") + F.col("d1")).alias("c1"),
-            (F.col("c2") + F.col("d2")).alias("c2"),
-        )
-    )
-    # a's (c1,c2) is unique per vector, so each qualifying pair matches
-    # exactly one of b's 9 replicas — no post-join dedup needed. The
-    # projection-distance prefilter is the same 1-Lipschitz bound that
-    # justifies the grid (|⟨â−b̂,u⟩| ≤ ‖â−b̂‖ ≤ δ), applied at full
-    # precision before the O(dim) dot product: two scalar compares per
-    # candidate, free relative to a 64-element HOF evaluation. Honesty
-    # note (measured at sf0.1): the fixture corpus is isotropic, so
-    # projections concentrate within ±3/√dim ≈ ±0.375 < δ and the
-    # prefilter prunes only ~3% there — like the grid itself, it earns
-    # its keep on corpora with real cluster structure, and the exact
-    # fallback for isotropic data is the candidate dot product below.
     return (
-        a.join(b, ["c1", "c2"])
-        .filter(
-            (F.col("vec_a") < F.col("vec_b"))
-            & (F.abs(F.col("p1a") - F.col("p1b")) <= delta)
-            & (F.abs(F.col("p2a") - F.col("p2b")) <= delta)
+        cosine_pairs(emb, "vec_id", "e", tau)
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            "cos",
         )
-        .withColumn("cos", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cos") >= F.lit(tau))
-        .select("vec_a", "vec_b", F.col("cos").cast("float").alias("cos"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -669,72 +614,38 @@ _CLUSTERS_CTE = """
 """
 
 
+_cc_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup component labelling (doc_id, cluster_id) shared by
+    the cluster/keep-best/size-report queries, memoized per
+    (application, sf_dir) as an EXECUTOR-cached DataFrame — nothing is
+    collected to the driver; the iterative CC computation (minhash
+    pairs → pointer-doubling components, the top cost in the full-sim
+    timing profile) just stops being repeated three times per session.
+    Contract: fixture parquet under sf_dir must not change within one
+    application (true for the driver, tests, and bench, which all pin
+    one fixture set per session)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _cc_cache:
+        from hadoop_deliver_spark.operators.llm import llm_dedup_minhash
+
+        pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+        _cc_cache[key] = _connected_components(pairs).cache()
+    return _cc_cache[key]
+
+
 def _connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """(doc_a, doc_b) undirected pair graph → (doc_id, cluster_id =
-    component-minimum doc_id). Min-label propagation WITH pointer
-    doubling: each round every node (1) adopts the min label among
-    itself and its neighbors, then (2) jumps to its label's label.
-    The jump halves chain lengths, so rounds are O(log diameter) —
-    a 1e6-hop chain converges in ~20 rounds, where plain propagation
-    needs 1e6. Labels are element-wise non-increasing and bounded by
-    the component min, so an unchanged SUM is a sound fixpoint test
-    (monotonicity means sum-equal ⇒ element-wise equal), and at the
-    fixpoint both endpoints of every (bidirectional) edge satisfy
-    label(u) ≤ label(v) ∧ label(v) ≤ label(u) — all connected nodes
-    share the component min. If the round cap is hit without a
-    fixpoint the function RAISES instead of returning wrong clusters
-    (round-3 verdict: the old flat-propagation cap of 20 silently
-    mis-clustered any >20-hop chain). Each round is two shuffles;
-    nothing driver-side but the 1-scalar fixpoint probe."""
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    prev_sum = None
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-        ).select(
-            "doc_id",
-            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
-        )
-        hop = propagated.select(
-            F.col("doc_id").alias("h_id"), F.col("label").alias("h_label")
-        )
-        # localCheckpoint TRUNCATES the lineage: labels appears 4×
-        # per round (propagate twice, jump twice), so without
-        # truncation the logical plan grows 4^rounds and the analyzer
-        # OOMs around round 8 even on a 61-node graph. On a real
-        # cluster swap for checkpoint(dir) to survive executor loss.
-        new_labels = (
-            propagated.join(hop, propagated.label == hop.h_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "label", F.coalesce("h_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            edges.unpersist()
-            return labels.select("doc_id", F.col("label").alias("cluster_id"))
-        prev_sum = new_sum
-    edges.unpersist()
-    raise RuntimeError(
-        f"connected components did not converge in {max_rounds} rounds — "
-        "graph diameter exceeds 2^rounds; raise max_rounds"
+    component-minimum doc_id) — thin binding of the public core
+    api.connected_components (pointer-doubling min-label propagation,
+    O(log diameter) rounds, RAISES on non-convergence; the full
+    algorithm/fixpoint rationale lives on that function)."""
+    from hadoop_deliver_spark.api import connected_components
+
+    return connected_components(pairs, "doc_a", "doc_b", max_rounds).select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
     )
 
 
@@ -753,10 +664,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     raising on non-convergence instead of silently truncating. The
     oracle recomputes components independently with a recursive CTE
     over the exact-Jaccard pair graph."""
-    from hadoop_deliver_spark.operators.llm import llm_dedup_minhash
-
-    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    return _connected_components(pairs).orderBy("doc_id")
+    return _cc_labels(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -787,7 +695,7 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-nulls mega-partition at 100 TB. Output: (doc_id, cluster_id
     nullable, keep boolean) — the purge list a delivery job anti-joins
     against."""
-    clusters = llm_dedup_clusters(spark, sf_dir)
+    clusters = _cc_labels(spark, sf_dir)
     d = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
     clustered = clusters.join(d, "doc_id")
     best = clustered.groupBy("cluster_id").agg(
@@ -832,11 +740,8 @@ def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     approves the purge. Two tiny aggregates over the component
     labelling (llm_dedup_clusters' pointer-doubling CC); the
     histogram key space is bounded by the largest cluster."""
-    from hadoop_deliver_spark.operators.llm import llm_dedup_minhash
-
-    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     sizes = (
-        _connected_components(pairs)
+        _cc_labels(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )

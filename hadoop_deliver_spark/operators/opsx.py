@@ -135,33 +135,12 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivery BEFORE consumers see drift; scan_schema_evolution is
     its read-side complement. Pure metadata — zero data rows move;
     the oracle states the contract and the known fixture schema as
-    VALUES."""
+    VALUES. Core: api.schema_contract_diff (column-parameterized,
+    reusable on any table)."""
+    from hadoop_deliver_spark.api import schema_contract_diff
+
     e = tbl(spark, sf_dir, "events")
-    live = spark.createDataFrame(
-        [(f.name, f.dataType.simpleString()) for f in e.schema.fields],
-        "col_name string, dtype string",
-    ).alias("l")
-    contract = spark.createDataFrame(
-        _CONTRACT, "col_name string, dtype string"
-    ).alias("c")
-    return (
-        contract.join(
-            live, F.col("c.col_name") == F.col("l.col_name"), "full_outer"
-        )
-        .select(
-            F.coalesce(F.col("c.col_name"), F.col("l.col_name")).alias(
-                "col_name"
-            ),
-            F.col("c.dtype").alias("contract_type"),
-            F.col("l.dtype").alias("live_type"),
-            F.when(F.col("l.col_name").isNull(), "missing")
-            .when(F.col("c.col_name").isNull(), "unexpected")
-            .when(F.col("c.dtype") != F.col("l.dtype"), "type_drift")
-            .otherwise("ok")
-            .alias("status"),
-        )
-        .orderBy("col_name")
-    )
+    return schema_contract_diff(e, _CONTRACT)
 
 
 @register(

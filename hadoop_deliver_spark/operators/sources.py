@@ -611,19 +611,9 @@ _AVRO_NATION_SCHEMA = {
     ],
 }
 
-_avro_pyfile_added: set[str] = set()
-
-
-def _ship_avro_codec(spark: SparkSession) -> None:
-    """Distribute avro_io.py to executor Python workers (once per
-    SparkContext): the workers can't import the repo package — they
-    only get files shipped via addPyFile."""
-    import hadoop_deliver_spark.avro_io as avro_io
-
-    app_id = spark.sparkContext.applicationId
-    if app_id not in _avro_pyfile_added:
-        spark.sparkContext.addPyFile(avro_io.__file__)
-        _avro_pyfile_added.add(app_id)
+# the distributed Avro read/write plumbing is public surface now —
+# api.read_avro / api.write_avro (which ship the codec to workers)
+from hadoop_deliver_spark.api import read_avro, write_avro  # noqa: E402
 
 
 @register("scan_avro", "SELECT * FROM nation")
@@ -637,12 +627,10 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     other scan. The codec is cross-validated against the JVM's own
     org.apache.avro reader/writer in tests/test_avro.py — a
     symmetric encode/decode bug cannot hide behind this roundtrip.
-    Staged as 2 files to keep the multi-file scan path honest."""
-    import pandas as pd
-
+    Staged as 2 files to keep the multi-file scan path honest. Scan
+    core: api.read_avro (reusable on any container directory)."""
     from hadoop_deliver_spark.avro_io import write_container
 
-    _ship_avro_codec(spark)
     out = _stage_dir(sf_dir, "nation_avro")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         os.makedirs(out, exist_ok=True)
@@ -662,24 +650,8 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         open(os.path.join(out, "_SUCCESS"), "w").close()
 
-    def decode(batches):
-        from avro_io import read_container  # shipped via addPyFile
-
-        for pdf in batches:
-            for content in pdf["content"]:
-                _, recs = read_container(bytes(content))
-                yield pd.DataFrame(
-                    recs, columns=["n_nationkey", "n_name", "n_regionkey"]
-                )
-
-    return (
-        spark.read.format("binaryFile")
-        .load(out)
-        .filter(F.col("path").endswith(".avro"))
-        .select("content")
-        .mapInPandas(
-            decode, "n_nationkey INT, n_name STRING, n_regionkey INT"
-        )
+    return read_avro(
+        spark, out, "n_nationkey INT, n_name STRING, n_regionkey INT"
     )
 
 
@@ -702,10 +674,8 @@ def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     task writes a uniquely-named file and the _SUCCESS marker lands
     only after the write job's row count is verified (a production
     deployment would swap this manual commit for Spark's
-    FileCommitProtocol to also survive speculative re-execution)."""
-    import pandas as pd
-
-    _ship_avro_codec(spark)
+    FileCommitProtocol to also survive speculative re-execution).
+    Write/scan cores: api.write_avro / api.read_avro."""
     out = _stage_dir(sf_dir, "nation_avro_sink")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         shutil.rmtree(out, ignore_errors=True)
@@ -715,43 +685,13 @@ def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_nationkey", "n_name", "n_regionkey")
             .repartition(4, F.col("n_regionkey"))
         )
-        schema = _AVRO_NATION_SCHEMA
-
-        def write_part(batches):
-            import os as _os
-            import uuid as _uuid
-
-            from avro_io import write_container as wc  # shipped pyfile
-
-            rows = []
-            for pdf in batches:
-                rows.extend(pdf.to_dict("records"))
-            if rows:
-                p = _os.path.join(out, f"part-{_uuid.uuid4().hex}.avro")
-                wc(p, schema, rows, codec="deflate")
-                yield pd.DataFrame({"path": [p], "n": [len(rows)]})
-
-        written = src.mapInPandas(write_part, "path STRING, n BIGINT")
+        written = write_avro(src, out, _AVRO_NATION_SCHEMA)
         total = written.agg(F.sum("n")).collect()[0][0]
         assert total == src.count(), "avro sink lost rows"
         open(os.path.join(out, "_SUCCESS"), "w").close()
 
-    def decode(batches):
-        from avro_io import read_container as rc
-
-        for pdf in batches:
-            for content in pdf["content"]:
-                _, recs = rc(bytes(content))
-                yield pd.DataFrame(
-                    recs, columns=["n_nationkey", "n_name", "n_regionkey"]
-                )
-
-    back = (
-        spark.read.format("binaryFile")
-        .load(out)
-        .filter(F.col("path").endswith(".avro"))
-        .select("content")
-        .mapInPandas(decode, "n_nationkey INT, n_name STRING, n_regionkey INT")
+    back = read_avro(
+        spark, out, "n_nationkey INT, n_name STRING, n_regionkey INT"
     )
     return (
         back.groupBy("n_regionkey")
@@ -867,10 +807,7 @@ def sink_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the hashed aggregate are derived from what was actually
     written. Same distributed shape as sink_avro: one container file
     per task, row-count-verified manual commit, scan via binaryFile +
-    mapInPandas."""
-    import pandas as pd
-
-    _ship_avro_codec(spark)
+    mapInPandas (api.write_avro / api.read_avro)."""
     out = _stage_dir(sf_dir, "events_avro_sink")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         shutil.rmtree(out, ignore_errors=True)
@@ -887,52 +824,17 @@ def sink_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .repartition(4, F.col("user_id"))
         )
-        schema = _AVRO_EVENTS_SCHEMA
-
-        def write_part(batches):
-            import os as _os
-            import uuid as _uuid
-
-            from avro_io import write_container as wc
-
-            rows = []
-            for pdf in batches:
-                rows.extend(pdf.to_dict("records"))
-            if rows:
-                p = _os.path.join(out, f"part-{_uuid.uuid4().hex}.avro")
-                wc(p, schema, rows, codec="deflate")
-                yield pd.DataFrame({"n": [len(rows)]})
-
-        total = (
-            src.mapInPandas(write_part, "n BIGINT").agg(F.sum("n")).collect()[0][0]
-        )
+        written = write_avro(src, out, _AVRO_EVENTS_SCHEMA)
+        total = written.agg(F.sum("n")).collect()[0][0]
         assert total == src.count(), "avro events sink lost rows"
         open(os.path.join(out, "_SUCCESS"), "w").close()
 
-    def decode(batches):
-        from avro_io import read_container as rc
-
-        for pdf in batches:
-            for content in pdf["content"]:
-                _, recs = rc(bytes(content))
-                yield pd.DataFrame(
-                    recs,
-                    columns=["event_id", "ts_us", "user_id", "event_type",
-                             "value"],
-                )
-
-    back = (
-        spark.read.format("binaryFile")
-        .load(out)
-        .filter(F.col("path").endswith(".avro"))
-        .select("content")
-        .mapInPandas(
-            decode,
-            "event_id BIGINT, ts_us BIGINT, user_id BIGINT, "
-            "event_type STRING, value DOUBLE",
-        )
-        .withColumn("ts", F.timestamp_micros("ts_us"))
-    )
+    back = read_avro(
+        spark,
+        out,
+        "event_id BIGINT, ts_us BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
     return back.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec2("value")).cast("double").cast("float").alias("total_value"),
