@@ -129,3 +129,114 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.col("rank").alias("rank_units")
     ).orderBy("node")
+
+
+_U_SCALE = 1_000_000_000
+_U_ITERS = 4
+
+_U_EDGES_SQL = """
+    e0 AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+               count(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst, src, w FROM e0)
+"""
+
+
+def _users_oracle() -> str:
+    """Unrolled K-iteration PageRank over the customer↔supplier
+    bipartite graph (DuckDB twin of the partitioned Spark loop)."""
+    parts = [
+        f"WITH {_U_EDGES_SQL},",
+        "outdeg AS (SELECT src, sum(w) AS wtot FROM edges GROUP BY src),",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        f"pr0 AS (SELECT node, {_U_SCALE} // (SELECT n FROM nn) AS rank"
+        " FROM nodes),",
+    ]
+    for i in range(1, _U_ITERS + 1):
+        parts.append(
+            f"pr{i} AS (SELECT n.node, "
+            f"(150 * ({_U_SCALE} // (SELECT n FROM nn))) // 1000 "
+            "+ COALESCE(c.contrib, 0) AS rank FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, "
+            "CAST(sum((850 * e.w * p.rank) // (1000 * o.wtot)) AS BIGINT)"
+            " AS contrib "
+            f"FROM edges e JOIN pr{i - 1} p ON e.src = p.node "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst"
+            ") c ON n.node = c.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, CAST(rank AS BIGINT) AS rank_units "
+        f"FROM pr{_U_ITERS} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+@register("graph_pagerank_users", _users_oracle(), tags=("graph", "iterative"))
+def graph_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on an UNBOUNDED node space — the shape graph_pagerank
+    (≤5 event types, ranks broadcast each iteration) deliberately
+    avoids. Nodes are customers (2·custkey) and suppliers
+    (2·suppkey+1) linked by purchase volume, bidirectional so no mass
+    dangles; the node set GROWS with the data, so ranks canNOT ride a
+    broadcast. Each iteration is a PARTITIONED join — edges ⋈ ranks
+    hash-shuffled on the node key (a shuffle_hash hint pins the
+    non-broadcast strategy even where fixture-scale stats would tempt
+    AQE into one) → groupBy(dst) partial/final sum → left join onto
+    the node set. Per iteration: two keyed shuffles over edges/ranks,
+    nothing driver-side, K fixed — the Pregel-as-DataFrame loop that
+    scales to billions of edges. Same integer-exact arithmetic as
+    graph_pagerank (BIGINT micro-units, floor division), so the
+    result is bit-identical across engines and partitionings; the
+    oracle unrolls the same K updates as chained CTEs."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).cache()
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    n = nodes.count()
+    base = (150 * (_U_SCALE // n)) // 1000
+    ranks = nodes.select("node", F.lit(_U_SCALE // n).alias("rank"))
+    ew = edges.join(outdeg, "src").cache()
+    for _ in range(_U_ITERS):
+        contrib = (
+            ew.join(
+                ranks.hint("shuffle_hash"), ew.src == ranks.node
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(850 * w * rank) div (1000 * wtot)").alias("part"),
+            )
+            .groupBy("node")
+            .agg(F.sum("part").alias("contrib"))
+        )
+        # no per-iteration checkpoint: ranks appears ONCE per iteration
+        # (inside contrib), so the plan grows linearly in K — for a
+        # fixed K=4 one fused job beats 4 materializations; a
+        # convergence-probed loop would checkpoint like the
+        # connected-components core does
+        ranks = nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce("contrib", F.lit(0))).alias("rank"),
+        )
+    edges.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node", F.col("rank").alias("rank_units")
+    ).orderBy("node")

@@ -130,9 +130,9 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, sf_dir, "complete").orderBy("window_start")
 
 
-@register(
-    "stream_session_window",
-    """
+# gaps-and-islands oracle shared by the session-window query and its
+# RocksDB-state-store variant (identical results by contract)
+_SESSION_ORACLE = """
     WITH ordered AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                CASE WHEN CAST(ts AS TIMESTAMP)
@@ -153,8 +153,10 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM tagged GROUP BY user_id, sess_id
     ORDER BY user_id, session_start
-    """,
-)
+    """
+
+
+@register("stream_session_window", _SESSION_ORACLE)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap.
     Spark merges overlapping [ts, ts+gap) intervals in the state
@@ -175,6 +177,43 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, sf_dir, "complete").orderBy(
         "user_id", "session_start"
     )
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@register("stream_session_rocksdb", _SESSION_ORACLE, tags=("streaming",))
+def stream_session_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_session_window executed under the RocksDB state store —
+    the provider flip this module's docstring prescribes for 100 TB
+    state (session/dedup state lives off-heap + on-disk per executor
+    instead of in the JVM heap, with incremental checkpoint upload).
+    The QUERY is byte-identical to stream_session_window — the same
+    registered function runs inside the conf window — and it is
+    hash-checked against the same gaps-and-islands oracle, proving
+    the provider changes where state lives, not what it computes.
+    The provider class is read at query START, so scoping the conf
+    around the (availableNow, blocking) run is sufficient; the
+    previous value is restored either way. rocksdbjni ships with this
+    PySpark; tests/test_properties.py asserts the RocksDB custom
+    metrics actually appear in the query progress (i.e. the flip is
+    real, not a silently-ignored conf)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        return stream_session_window(spark, sf_dir)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
 
 
 @register(

@@ -178,6 +178,13 @@ def test_plan_shapes(spark, sf_dir):
     # strategy to ShuffledHashJoin (no sort phases), not stay SMJ.
     assert "ShuffledHashJoin" in plan_of("join_hint_shuffle_hash")
 
+    # graph_pagerank_users: the POINT of the operator is that ranks do
+    # not broadcast — every per-iteration edges⋈ranks and nodes⋈contrib
+    # join must be a partitioned ShuffledHashJoin (4 iterations × 2),
+    # even though fixture-scale sizes would tempt AQE into broadcasts.
+    pr = plan_of("graph_pagerank_users")
+    assert pr.count("ShuffledHashJoin") >= 8, pr.count("ShuffledHashJoin")
+
 
 # Queries whose plans legitimately contain a nested-loop join node:
 # either the operator IS a cross/theta join by spec, or the build side
@@ -659,3 +666,65 @@ def test_bucketed_join_has_no_shuffle_or_sort(spark, sf_dir):
     below_join = plan.split("SortMergeJoin")[-1]
     assert "Exchange" not in below_join, below_join
     assert "Sort " not in below_join, below_join
+
+
+def test_rocksdb_session_variant_matches_and_flip_is_real(spark, sf_dir):
+    """stream_session_rocksdb must return EXACTLY stream_session_window's
+    rows (same query, different state store), the provider conf must be
+    restored afterwards, and the RocksDB provider must actually engage —
+    proven by running a probe session-window stream under the same conf
+    and finding RocksDB custom metrics in its progress (a typo'd
+    provider class would throw; a silently-ignored conf would show no
+    rocksdb* metrics)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_deliver_spark.operators.streaming import _ROCKSDB_PROVIDER
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key)
+    rocks = R["stream_session_rocksdb"].fn(spark, sf_dir).collect()
+    assert spark.conf.get(key) == before, "provider conf leaked"
+    hdfs = R["stream_session_window"].fn(spark, sf_dir).collect()
+    assert rocks == hdfs
+
+    # probe: same provider conf on a tiny session-window stream, then
+    # inspect the progress for RocksDB custom metrics
+    src = "/tmp/hds_rocksdb_probe_src"
+    cp = "/tmp/hds_rocksdb_probe_cp"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    spark.createDataFrame(
+        [(i % 3, f"2024-01-01 00:{i:02d}:00") for i in range(30)],
+        "k int, t string",
+    ).select("k", F.col("t").cast("timestamp").alias("ts")).write.parquet(src)
+    saved = spark.conf.get(key)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        ev = spark.readStream.schema("k int, ts timestamp").parquet(src)
+        agg = (
+            ev.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "5 minutes"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("hds_rocksdb_probe")
+            .outputMode("complete")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ops = (q.lastProgress or {}).get("stateOperators", [])
+        assert any(
+            "rocksdbGetCount" in (op.get("customMetrics") or {})
+            for op in ops
+        ), ops
+    finally:
+        spark.conf.set(key, saved)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
