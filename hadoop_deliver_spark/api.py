@@ -42,6 +42,9 @@ __all__ = [
     "exact_global_ntile",
     "exact_global_rank",
     "exact_global_cumsum_desc",
+    "asof_join",
+    "sessionize",
+    "locf_grid",
     "schema_contract_diff",
     "read_avro",
     "write_avro",
@@ -526,6 +529,156 @@ def cosine_pairs(
         .withColumn("cos", dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= F.lit(tau))
         .select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal operators Spark lacks natively
+# --------------------------------------------------------------------------
+
+
+def asof_join(
+    values: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    forward: bool = False,
+    out: str = "asof_value",
+) -> DataFrame:
+    """As-of join via the union+window trick (Spark has no native
+    asof): for each probe row, the value of the LATEST values-row
+    at-or-before its timestamp (``forward=True``: the EARLIEST
+    at-or-after). Inner semantics — probes with no match drop, like
+    DuckDB/pandas ASOF JOIN.
+
+    Shape: tag probes, union with values, one window over
+    (keys, ts) with `last/first(value ignorenulls)` — ONE shuffle,
+    O(1) state per key, no row explosion; the shape that survives
+    skew where a range join would explode. ``values`` must carry one
+    row per (keys, ts_col) — pre-aggregate ties (e.g. max_by on a
+    unique id) so the picked value is deterministic. Backward: probes
+    sort AFTER same-ts values (asof `<=`); forward: BEFORE (asof
+    `>=`). Returns (keys…, ts_col, out).
+
+    >>> asof_join(quotes, trades, ["symbol"], "ts", "bid")
+    """
+    keys = list(keys)
+    vtype = dict(values.dtypes)[value_col]
+    p = probes.select(
+        *keys,
+        F.col(ts_col).alias(ts_col),
+        F.lit(None).cast(vtype).alias(value_col),
+        F.lit(1).alias("_asof_probe"),
+    )
+    v = values.select(*keys, ts_col, value_col).withColumn(
+        "_asof_probe", F.lit(0)
+    )
+    unioned = v.unionByName(p)
+    if forward:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_col, F.desc("_asof_probe"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picked = F.first(value_col, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_col, "_asof_probe")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = F.last(value_col, ignorenulls=True).over(w)
+    return (
+        unioned.withColumn(out, picked)
+        .filter((F.col("_asof_probe") == 1) & F.col(out).isNotNull())
+        .select(*keys, ts_col, out)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: Sequence[str] = (),
+    out: str = "session_id",
+) -> DataFrame:
+    """Append ``out`` = 1-based session id per key group: a new
+    session starts wherever the gap to the previous row exceeds
+    ``gap_seconds`` (gaps-and-islands — lag → flag → running sum).
+    One shuffle on the keys serves both windows. ``order_cols``
+    breaks timestamp ties deterministically (pass a unique id).
+
+    >>> sessionize(events, ["user_id"], "ts", 1800, ["event_id"])
+    """
+    keys = list(keys)
+    order = [ts_col, *order_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_us = int(gap_seconds) * 1_000_000
+    flagged = df.withColumn(
+        "_sz_new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.unix_micros(ts_col) - F.unix_micros(F.lag(ts_col).over(w))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        out,
+        F.sum("_sz_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    ).drop("_sz_new")
+
+
+def locf_grid(
+    series: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    step,
+    out: str = "value_filled",
+) -> DataFrame:
+    """Densify a bucketed series onto the global [min, max] grid per
+    key and gap-fill by last-observation-carried-forward (leading
+    gaps stay null). ``series`` carries ≤1 row per (keys, bucket_col)
+    timestamp bucket; ``step`` is the grid stride (a Column, e.g.
+    ``F.expr("interval 6 hours")``). Returns (keys…, bucket_col, out).
+
+    Scale shape: the grid is built from ONE aggregated bounds row +
+    sequence/explode — never by scanning the series per bucket; the
+    LOCF window partitions on the keys.
+
+    >>> locf_grid(readings, ["sensor"], "bucket", "v",
+    ...           F.expr("interval 1 hour"))
+    """
+    keys = list(keys)
+    bounds = series.agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = (
+        series.select(*keys)
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            *keys,
+            F.explode(F.sequence("_lo", "_hi", step)).alias(bucket_col),
+        )
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(series, [*keys, bucket_col], "left").select(
+        *keys,
+        bucket_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(out),
     )
 
 

@@ -204,32 +204,13 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.groupBy("event_type", "bucket").agg(
         F.max_by("value", "event_id").cast("float").alias("obs_v")
     )
-    bounds = e.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-    grid = (
-        e.select("event_type")
-        .distinct()
-        .crossJoin(bounds)
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("interval 6 hours"))
-            ).alias("bucket"),
-        )
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(b, ["event_type", "bucket"], "left")
-        .select(
-            "event_type",
-            "bucket",
-            F.last("obs_v", ignorenulls=True).over(w).alias("value_filled"),
-        )
-        .orderBy("event_type", "bucket")
-    )
+    # densify + LOCF via the public core (api.locf_grid carries the
+    # bounds-row/sequence grid-construction scale rationale)
+    from hadoop_deliver_spark.api import locf_grid
+
+    return locf_grid(
+        b, ["event_type"], "bucket", "obs_v", F.expr("interval 6 hours")
+    ).orderBy("event_type", "bucket")
 
 
 @register(
@@ -410,26 +391,12 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum = session id → per-session aggregate. The batch twin of
     stream_session_window (same sessions, plus the id). One shuffle on
     user_id serves both windows and the final groupBy; ties at equal ts
-    are ordered by the unique event_id so the lag is deterministic."""
-    from pyspark.sql import Window
+    are ordered by the unique event_id so the lag is deterministic.
+    Core: api.sessionize (column-parameterized gaps-and-islands)."""
+    from hadoop_deliver_spark.api import sessionize
 
     e = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.withColumn(
-        "new_s",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = sessionize(e, ["user_id"], "ts", 1800, ["event_id"])
     return (
         sess.groupBy("user_id", "session_id")
         .agg(

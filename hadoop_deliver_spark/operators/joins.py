@@ -337,35 +337,15 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _asof_union_window(e: DataFrame, probes: DataFrame, forward: bool,
                        out: str) -> DataFrame:
     """Union+window as-of core, shared by join_asof / join_asof_forward
-    and the randomized differential ring. ``e`` carries one value per
-    (user_id, ts); ``probes`` carries (user_id, ts). Backward: probes
-    sort AFTER same-ts events and `last(value)` looks back — asof
-    `<=`. Forward: probes sort BEFORE same-ts events and
-    `first(value)` looks ahead — asof `>=`."""
-    probes = probes.withColumn("is_probe", F.lit(1)).withColumn(
-        "value", F.lit(None).cast("double")
-    )
-    tagged = e.withColumn("is_probe", F.lit(0)).select(
-        "user_id", "ts", "value", "is_probe"
-    )
-    unioned = tagged.unionByName(probes.select("user_id", "ts", "value", "is_probe"))
-    if forward:
-        w = (
-            Window.partitionBy("user_id")
-            .orderBy("ts", F.desc("is_probe"))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        picked = F.first("value", ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy("user_id")
-            .orderBy("ts", "is_probe")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        picked = F.last("value", ignorenulls=True).over(w)
+    and the randomized differential ring — thin binding of the public
+    core api.asof_join (column-parameterized; the sort-direction and
+    one-shuffle rationale live on that function). ``e`` carries one
+    value per (user_id, ts); ``probes`` carries (user_id, ts)."""
+    from hadoop_deliver_spark.api import asof_join
+
     return (
-        unioned.withColumn(out, picked)
-        .filter((F.col("is_probe") == 1) & F.col(out).isNotNull())
+        asof_join(e, probes, ["user_id"], "ts", "value",
+                  forward=forward, out=out)
         .select("user_id", F.col("ts").alias("probe_ts"), out)
         .orderBy("user_id", "probe_ts")
     )

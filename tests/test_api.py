@@ -124,3 +124,58 @@ def test_exact_global_rank_custom_columns(spark):
         for r in api.exact_global_rank(df, "score", "pk", "seq").collect()
     )
     assert got == [("a", 3, 1), ("a", 5, 3), ("b", 3, 2), ("c", 9, 4)]
+
+
+def test_asof_join_backward_and_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("B", 15, 9.0)],
+        "sym string, t long, bid double",
+    ).select("sym", F.timestamp_seconds("t").alias("qts"), "bid")
+    trades = spark.createDataFrame(
+        [("A", 5), ("A", 10), ("A", 25), ("B", 14)], "sym string, t long"
+    ).select("sym", F.timestamp_seconds("t").alias("qts"))
+    back = {
+        (r.sym, r.qts): r.px
+        for r in api.asof_join(
+            quotes, trades, ["sym"], "qts", "bid", out="px"
+        ).collect()
+    }
+    # t=5 has no quote at-or-before → dropped; t=10 → 1.0; t=25 → 2.0
+    assert len(back) == 2
+    assert sorted(back.values()) == [1.0, 2.0]
+    fwd = api.asof_join(
+        quotes, trades, ["sym"], "qts", "bid", forward=True, out="px"
+    ).collect()
+    # forward: A@5→1.0, A@10→1.0, A@25 dropped, B@14→9.0
+    assert sorted(r.px for r in fwd) == [1.0, 1.0, 9.0]
+
+
+def test_sessionize_custom_gap(spark):
+    df = spark.createDataFrame(
+        [("x", 0, 1), ("x", 100, 2), ("x", 500, 3), ("y", 0, 4)],
+        "who string, sec long, eid long",
+    ).select("who", F.timestamp_seconds("sec").alias("at"), "eid")
+    got = {
+        r.eid: r.sid
+        for r in api.sessionize(df, ["who"], "at", 300, ["eid"], "sid").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_locf_grid_fills_and_leaves_leading_nulls(spark):
+    series = spark.createDataFrame(
+        [("s1", 0, 10.0), ("s1", 7200, 30.0), ("s2", 3600, 5.0)],
+        "sensor string, sec long, v double",
+    ).select("sensor", F.timestamp_seconds("sec").alias("bkt"), "v")
+    got = {
+        (r.sensor, r.bkt.hour): r.filled
+        for r in api.locf_grid(
+            series, ["sensor"], "bkt", "v",
+            F.expr("interval 1 hour"), out="filled",
+        ).collect()
+    }
+    # global grid spans 0..2h for both sensors
+    assert got == {
+        ("s1", 0): 10.0, ("s1", 1): 10.0, ("s1", 2): 30.0,
+        ("s2", 0): None, ("s2", 1): 5.0, ("s2", 2): 5.0,
+    }
