@@ -42,6 +42,8 @@ __all__ = [
     "exact_global_ntile",
     "exact_global_rank",
     "exact_global_cumsum_desc",
+    "dataset_split",
+    "tfidf",
     "asof_join",
     "sessionize",
     "locf_grid",
@@ -529,6 +531,64 @@ def cosine_pairs(
         .withColumn("cos", dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= F.lit(tau))
         .select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    content_col: str,
+    *,
+    val_nibbles: Sequence[str] = ("c", "d"),
+    test_nibbles: Sequence[str] = ("e", "f"),
+    out: str = "split",
+) -> DataFrame:
+    """Append ``out`` ∈ {train, val, test} by deterministic content
+    hash: the first hex nibble of md5(content_col) maps each row into
+    16 equal buckets, assigned to splits by the nibble lists (defaults:
+    12/2/2 = 75/12.5/12.5%). Content-keyed hashing — not RNG, not row
+    position — makes the split reproducible across engines, re-runs,
+    repartitions and incremental backfills, and keeps exact duplicates
+    in the SAME split (no train/test leakage through dup pairs).
+    Map-only; md5 is bit-identical everywhere.
+
+    >>> dataset_split(docs, "text")
+    """
+    nib = F.substring(F.md5(F.col(content_col)), 1, 1)
+    split = (
+        F.when(nib.isin(*val_nibbles), "val")
+        .when(nib.isin(*test_nibbles), "test")
+        .otherwise("train")
+    )
+    return df.withColumn(out, split)
+
+
+def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """TF-IDF over a whitespace-tokenized text column, expressed
+    relationally (explode → two aggregates → broadcast join) so every
+    value is checkable — unlike HashingTF, which buckets terms by an
+    engine hash. Returns (id_col, term, tf, df, tfidf float32);
+    smoothed idf = ln((N+1)/(df+1)) + 1. The document-frequency side
+    is |vocabulary|-sized and broadcast; the one driver action is the
+    scalar document count.
+
+    >>> tfidf(docs, "doc_id", "text")
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(text_col, " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = df.count()
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "tfidf",
+            (
+                F.col("tf")
+                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).cast("float"),
+        )
+        .select(id_col, "term", "tf", "df", "tfidf")
     )
 
 

@@ -387,25 +387,12 @@ def llm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF expressed relationally (explode → two aggregates → join)
     so every value is oracle-checkable — unlike HashingTF, which
-    buckets terms by an engine hash. The DF side is |vocabulary|-sized
-    and broadcast into the join; smoothed idf = ln((N+1)/(df+1)) + 1."""
+    buckets terms by an engine hash. Core: api.tfidf (which carries
+    the broadcast-DF and smoothed-idf rationale)."""
+    from hadoop_deliver_spark.api import tfidf
+
     d = tbl(spark, sf_dir, "documents")
-    toks = _tokens(d).withColumnRenamed("tok", "term")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
-    return (
-        tf.join(F.broadcast(df), "term")
-        .withColumn(
-            "tfidf",
-            (
-                F.col("tf")
-                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-            ).cast("float"),
-        )
-        .select("doc_id", "term", "tf", "df", "tfidf")
-        .orderBy("doc_id", "term")
-    )
+    return tfidf(d, "doc_id", "text").orderBy("doc_id", "term")
 
 
 @register(

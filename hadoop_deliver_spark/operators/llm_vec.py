@@ -108,16 +108,13 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, re-runs, repartitions and incremental backfills,
     and keeps exact duplicates in the SAME split (no train/test
     leakage through dup pairs). Map-only + one tiny aggregate; md5
-    is bit-identical everywhere."""
+    is bit-identical everywhere. Core: api.dataset_split."""
+    from hadoop_deliver_spark.api import dataset_split
+
     d = tbl(spark, sf_dir, "documents")
-    nib = F.substring(F.md5(F.col("text")), 1, 1)
-    split = (
-        F.when(nib.isin("c", "d"), "val")
-        .when(nib.isin("e", "f"), "test")
-        .otherwise("train")
-    )
     return (
-        d.select("lang", split.alias("split"))
+        dataset_split(d, "text")
+        .select("lang", "split")
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split", "lang")

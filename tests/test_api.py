@@ -179,3 +179,29 @@ def test_locf_grid_fills_and_leaves_leading_nulls(spark):
         ("s1", 0): 10.0, ("s1", 1): 10.0, ("s1", 2): 30.0,
         ("s2", 0): None, ("s2", 1): 5.0, ("s2", 2): 5.0,
     }
+
+
+def test_dataset_split_deterministic_and_dup_consistent(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "rid long, body string",
+    )
+    a = {r.rid: r.split for r in api.dataset_split(df, "body").collect()}
+    b = {r.rid: r.split for r in api.dataset_split(df, "body").collect()}
+    assert a == b  # reproducible
+    assert a[1] == a[2]  # exact dups land in the same split
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_tfidf_custom_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "k long, body string"
+    )
+    got = {
+        (r.k, r.term): (r.tf, r.df)
+        for r in api.tfidf(df, "k", "body").collect()
+    }
+    assert got == {
+        (1, "a"): (2, 2), (1, "b"): (1, 1),
+        (2, "a"): (1, 2), (2, "c"): (1, 1),
+    }
