@@ -728,3 +728,95 @@ def test_rocksdb_session_variant_matches_and_flip_is_real(spark, sf_dir):
         spark.conf.set(key, saved)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def test_multimodal_decode_gap_is_current():
+    """llm_multimodal_decode stubs the image decoder behind a PIL
+    import gate (operators/llm_text.py) because this container ships
+    no image codecs. Like the transformWithState tripwire above, this
+    fails the moment PIL appears so the documented stub cannot
+    silently outlive its reason."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return  # gap still real
+    raise AssertionError(
+        "PIL is now importable — wire the real decode path in "
+        "llm_multimodal_decode (replace the stub branch; keep the "
+        "byte-feature stub as the no-codec fallback)"
+    )
+
+
+# Every .collect() in the engine package, as (file, function), each with
+# its bounded-size argument. The companion AST sweep below fails on ANY
+# new collect site — adding one means justifying it here.
+_COLLECT_OK = {
+    # 1-scalar fixpoint probe per CC round
+    ("api.py", "connected_components"),
+    # ≤ nblocks−1 split points / ≤ nblocks block sizes (block-ranked cores)
+    ("api.py", "_approx_splits"),
+    ("api.py", "exact_global_ntile"),
+    ("api.py", "exact_global_cumsum_desc"),
+    ("api.py", "exact_global_rank"),
+    # 1-row scalar aggregates (grand totals, maxima, anchors, averages)
+    ("analytics3.py", "orders_pareto_abc"),
+    ("classics.py", "supplier_top_revenue"),
+    ("classics.py", "customers_idle_rich"),
+    ("classics.py", "supplier_value_share"),
+    ("llm_rank.py", "llm_bm25"),
+    ("scoring.py", "events_rfm_scores"),
+    ("streaming.py", "stream_chained_stateful"),
+    ("surface3.py", "dq_freshness"),
+    ("surface3.py", "delivery_gdpr_erasure"),
+    ("sources.py", "sink_avro"),        # 1-row manifest sum (commit check)
+    ("sources.py", "sink_avro_events"), # 1-row manifest sum (commit check)
+    # calendar-bounded day list (glob staging, ≤ fixture day span)
+    ("extras2.py", "scan_recursive_glob"),
+    # range-partition boundary probe (bounded by #partitions)
+    ("fnx2.py", "sink_range_partitioned"),
+    # probe set broadcast-small BY CONTRACT (1% fixed sample)
+    ("llm.py", "llm_sim_bruteforce"),
+    # one-time 25-row dim staging into the avro/json fixture feeds
+    ("sources.py", "scan_avro"),
+    ("sources.py", "scan_json_corrupt"),
+}
+
+
+def test_no_unjustified_driver_collects():
+    """Static scale guard #4: every .collect() inside the engine
+    package must be on the justified allowlist above — the '100 TB
+    story' is that operators never materialize data on the driver,
+    only bounded scalar/split probes. A regression like round 4's
+    llm_knn_classify (collecting a corpus FRACTION into plan literals)
+    adds a new (file, function) site and fails here by name."""
+    import ast
+    import pathlib
+
+    import hadoop_deliver_spark
+
+    pkg = pathlib.Path(hadoop_deliver_spark.__file__).parent
+    sites = set()
+    for py in pkg.rglob("*.py"):
+        stack = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, node):
+                stack.append(node.name)
+                self.generic_visit(node)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                if (
+                    isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "collect"
+                ):
+                    sites.add((py.name, stack[-1] if stack else "<module>"))
+                self.generic_visit(node)
+
+        V().visit(ast.parse(py.read_text()))
+    rogue = sites - _COLLECT_OK
+    assert not rogue, f"unjustified driver collect in: {sorted(rogue)}"
+    gone = _COLLECT_OK - sites
+    assert not gone, f"stale allowlist entries (update _COLLECT_OK): {sorted(gone)}"
