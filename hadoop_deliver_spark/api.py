@@ -42,6 +42,7 @@ __all__ = [
     "exact_global_ntile",
     "exact_global_rank",
     "exact_global_cumsum_desc",
+    "heavy_hitters",
     "dataset_split",
     "tfidf",
     "asof_join",
@@ -531,6 +532,73 @@ def cosine_pairs(
         .withColumn("cos", dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= F.lit(tau))
         .select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))
+    )
+
+
+def _misra_gries_kernel(key_col: str, counters: int):
+    """The per-partition Misra–Gries summary as a mapInPandas kernel:
+    ``counters`` slots, decrement-all on overflow, surviving keys out.
+    Exposed separately so the superset guarantee is fuzz-testable on
+    plain pandas batches (tests/test_hypothesis.py)."""
+    import pandas as pd
+
+    def mg(batches):
+        tally: dict = {}
+        for pdf in batches:
+            for k in pdf[key_col]:
+                if k in tally:
+                    tally[k] += 1
+                elif len(tally) < counters:
+                    tally[k] = 1
+                else:
+                    dead = []
+                    for c in tally:
+                        tally[c] -= 1
+                        if tally[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del tally[c]
+        yield pd.DataFrame({key_col: list(tally.keys())})
+
+    return mg
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_denom: int,
+    counters: int = 64,
+    out: str = "cnt",
+) -> DataFrame:
+    """EXACT keys with count > n/threshold_denom, found with
+    bounded-memory Misra–Gries candidates + an exact refine — the
+    100 TB alternative to a full GROUP BY over unbounded key
+    cardinality. Pass 1 runs an MG summary with ``counters`` slots
+    INSIDE each partition (mapInPandas, O(counters) memory per task no
+    matter how many distinct keys stream past); the MG undercount
+    bound makes the union of partition survivors a SUPERSET of every
+    key with global frequency > n/counters, hence of every key over
+    the n/threshold_denom threshold whenever
+    ``counters ≥ threshold_denom`` (asserted). Pass 2 exact-counts the
+    candidates only (broadcast semi-join) and applies the threshold —
+    so the sketch buys per-task memory independence and a
+    candidates-only shuffle without giving up exactness. Returns
+    (key_col, out).
+
+    >>> heavy_hitters(events, "user_id", threshold_denom=40)
+    """
+    assert counters >= threshold_denom, (
+        "MG superset guarantee needs counters >= threshold_denom"
+    )
+    ktype = dict(df.dtypes)[key_col]
+    mg = _misra_gries_kernel(key_col, counters)
+    n_total = df.count()
+    cand = df.select(key_col).mapInPandas(mg, f"{key_col} {ktype}").distinct()
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(out))
+        .where(F.col(out) > n_total / threshold_denom)
     )
 
 

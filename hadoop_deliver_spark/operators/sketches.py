@@ -16,10 +16,6 @@ task and whose shuffle is O(candidates), not O(distinct keys) — the
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,28 +24,6 @@ from hadoop_deliver_spark.tables import tbl
 
 _K = 64  # MG counters per partition
 _T = 40  # report keys with count > n/_T  (2.5% of the stream)
-
-
-def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Misra–Gries with _K counters over one partition's rows."""
-    counters: dict[int, int] = {}
-    for pdf in batches:
-        for key in pdf["key"]:
-            k = int(key)
-            if k in counters:
-                counters[k] += 1
-            elif len(counters) < _K:
-                counters[k] = 1
-            else:
-                # decrement-all step; drop zeroed counters
-                dead = []
-                for c in counters:
-                    counters[c] -= 1
-                    if counters[c] == 0:
-                        dead.append(c)
-                for c in dead:
-                    del counters[c]
-    yield pd.DataFrame({"key": list(counters.keys())})
 
 
 @register(
@@ -76,20 +50,13 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold filter. The oracle is the direct GROUP BY/HAVING —
     the sketch path must and does reproduce it exactly; what the
     sketch buys at scale is per-task memory independent of key
-    cardinality and a candidates-only shuffle."""
+    cardinality and a candidates-only shuffle. Core:
+    api.heavy_hitters (column-parameterized, any key type)."""
+    from hadoop_deliver_spark.api import heavy_hitters
+
     e = tbl(spark, sf_dir, "events").select(
         (F.col("user_id") % 37).alias("cohort")
     )
-    n_total = e.count()
-    cand = (
-        e.select(F.col("cohort").alias("key"))
-        .mapInPandas(_mg_partition, "key long")
-        .distinct()
-    )
-    return (
-        e.join(F.broadcast(cand), e.cohort == cand.key, "left_semi")
-        .groupBy("cohort")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") > n_total / _T)
-        .orderBy(F.desc("cnt"), "cohort")
+    return heavy_hitters(e, "cohort", threshold_denom=_T, counters=_K).orderBy(
+        F.desc("cnt"), "cohort"
     )

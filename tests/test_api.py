@@ -205,3 +205,18 @@ def test_tfidf_custom_columns(spark):
         (1, "a"): (2, 2), (1, "b"): (1, 1),
         (2, "a"): (1, 2), (2, "c"): (1, 1),
     }
+
+
+def test_heavy_hitters_exact_with_string_keys(spark):
+    rows = [("hot",)] * 50 + [("warm",)] * 20 + [
+        (f"cold{i}",) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "tag string").repartition(4)
+    got = {
+        r.tag: r.n
+        for r in api.heavy_hitters(
+            df, "tag", threshold_denom=10, counters=16, out="n"
+        ).collect()
+    }
+    # n=100 → threshold count > 10: hot(50) and warm(20) only
+    assert got == {"hot": 50, "warm": 20}

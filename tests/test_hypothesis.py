@@ -314,7 +314,8 @@ def test_misra_gries_candidates_are_a_superset(seed, n_noise, n_heavy):
 
     import pandas as pd
 
-    from hadoop_deliver_spark.operators.sketches import _K, _mg_partition
+    from hadoop_deliver_spark.api import _misra_gries_kernel
+    from hadoop_deliver_spark.operators.sketches import _K
 
     rng = random.Random(seed)
     heavy_key = 10_000_000
@@ -331,7 +332,7 @@ def test_misra_gries_candidates_are_a_superset(seed, n_noise, n_heavy):
         pd.DataFrame({"key": stream[i : i + third]})
         for i in range(0, n, third)
     ]
-    (out,) = list(_mg_partition(iter(batches)))
+    (out,) = list(_misra_gries_kernel("key", _K)(iter(batches)))
     assert heavy_key in set(out["key"])
 
 
