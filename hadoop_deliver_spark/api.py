@@ -42,6 +42,7 @@ __all__ = [
     "exact_global_ntile",
     "exact_global_rank",
     "exact_global_cumsum_desc",
+    "canonical_url",
     "heavy_hitters",
     "dataset_split",
     "tfidf",
@@ -533,6 +534,41 @@ def cosine_pairs(
         .filter(F.col("cos") >= F.lit(tau))
         .select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))
     )
+
+
+def canonical_url(url) -> Column:
+    """RFC-3986-style canonical URL as pure column algebra (map-only,
+    JVM-side — no UDF): lowercases scheme/host, strips the fragment,
+    a :80 default port, a www. prefix and the trailing slash, drops
+    utm_* tracking parameters and sorts the remaining query params.
+    Dedup web-crawl corpora on THIS key before any content hash —
+    scheme/host case, ports, fragments and trackers all vary between
+    crawls of the same resource.
+
+    >>> docs.withColumn("canon", canonical_url(F.col("url")))
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z]+://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r":80$", ""), r"^www\.", ""
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/$", ""
+    )
+    qstr = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qstr, "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, query)
 
 
 def _misra_gries_kernel(key_col: str, counters: int):

@@ -77,29 +77,11 @@ _MESSY_URL_SQL = """
 
 
 def _canonicalize(url: Column) -> Column:
-    """RFC-3986-style canonical form, pure column algebra."""
-    no_frag = F.regexp_replace(url, "#.*$", "")
-    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
-    rest = F.regexp_replace(no_frag, r"^[A-Za-z]+://", "")
-    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
-    host = F.regexp_replace(
-        F.regexp_replace(F.lower(hostport), r":80$", ""), r"^www\.", ""
-    )
-    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
-    path = F.regexp_replace(
-        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/$", ""
-    )
-    qstr = F.regexp_extract(pathq, r"\?(.*)$", 1)
-    params = F.array_sort(
-        F.filter(
-            F.split(qstr, "&"),
-            lambda x: (x != "") & ~x.startswith("utm_"),
-        )
-    )
-    query = F.when(
-        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
-    ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, query)
+    """RFC-3986-style canonical form — the public core
+    api.canonical_url (which carries the recipe rationale)."""
+    from hadoop_deliver_spark.api import canonical_url
+
+    return canonical_url(url)
 
 
 _CANONICAL_SQL = """

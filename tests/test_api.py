@@ -220,3 +220,25 @@ def test_heavy_hitters_exact_with_string_keys(spark):
     }
     # n=100 → threshold count > 10: hot(50) and warm(20) only
     assert got == {"hot": 50, "warm": 20}
+
+
+def test_canonical_url_collapses_and_is_idempotent(spark):
+    variants = [
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&q=1#frag",
+        "http://example.com/a/b?q=1",
+        "https://example.com/a/b?q=1",  # scheme differs → distinct
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "u string")
+    out = [
+        r.c for r in df.select(api.canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    assert out[0] == out[1] == "http://example.com/a/b?q=1"
+    assert out[2] == "https://example.com/a/b?q=1"
+    # idempotent: canonicalizing the canonical form is a no-op
+    again = [
+        r.c2
+        for r in spark.createDataFrame([(c,) for c in out], "c string")
+        .select(api.canonical_url(F.col("c")).alias("c2"))
+        .collect()
+    ]
+    assert again == out
