@@ -14,15 +14,23 @@ binding spec is SURVEY.md §2's operator inventory and the driver
 contract in __spark_entry__.py.
 
 Layout:
+    api.py        — THE COMPOSABLE PUBLIC SURFACE: column-parameterized
+                    DataFrame→DataFrame cores (dedup, minhash pairs,
+                    connected components, cosine pairs, exact global
+                    ranking, as-of join, sessionize, LOCF grid, heavy
+                    hitters, dataset split, tfidf, canonical URLs,
+                    schema contract diff, avro read/write).
     session.py    — SparkSession factory tuned for local[32] dev and
                     cluster-scale defaults (AQE, shuffle partitions).
     tables.py     — fixture table loader (handles the events
                     nanosecond-timestamp parquet shim).
     registry.py   — the query registry: every operator from
                     SURVEY.md §2 registers (name, spark_fn, oracle_sql).
-    operators/    — one module per SURVEY.md §2 section.
+    operators/    — one module per SURVEY.md §2 section; fixture
+                    bindings of the api.py cores where one exists.
 """
 
+from hadoop_deliver_spark import api  # noqa: F401
 from hadoop_deliver_spark.registry import REGISTRY, register  # noqa: F401
 from hadoop_deliver_spark.session import get_spark  # noqa: F401
 from hadoop_deliver_spark.tables import TABLES, prepare_session, tbl  # noqa: F401
