@@ -805,7 +805,7 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged AS (
         SELECT user_id, ts, end_us,
                sum(CASE WHEN prev_max_end IS NULL
-                         OR epoch_us(ts) >= prev_max_end
+                         OR epoch_us(ts) > prev_max_end
                         THEN 1 ELSE 0 END) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS sid
@@ -824,10 +824,12 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a PER-EVENT dynamic gap (purchases hold
     the session open 45 min, everything else 30) — Spark's
     session_window accepts a gap EXPRESSION, and the state store
-    merges each event's [ts, ts+gap) interval. The batch oracle
+    merges each event's [ts, ts+gap] interval. The batch oracle
     derives identical sessions from first principles: an event opens
-    a new session iff its start is at or past the running max of all
-    previous interval ends (prefix-max window), then
+    a new session iff its start is STRICTLY past the running max of
+    all previous interval ends (prefix-max window; Spark merges
+    touching intervals — an event at exactly a prior session end
+    joins it, caught by the hypothesis fuzz in tests), then
     gaps-and-islands. Session end = max(tsᵢ+gapᵢ) of the merged
     events on both sides. This is how checkout flows get longer
     timeouts than browsing without running two session pipelines."""

@@ -449,8 +449,13 @@ def test_dynamic_session_window_equals_prefix_max_merge(spark, seed, n_events):
     mode — identical merge semantics to the streaming state store)
     must equal the prefix-max interval-merge construction that
     stream_session_dynamic_gap's oracle uses: an event opens a new
-    session iff its start is at or past the running max of all
-    previous interval ends."""
+    session iff its start is STRICTLY past the running max of all
+    previous interval ends — Spark merges touching intervals (an
+    event landing exactly at the previous session's end joins it;
+    verified with a two-event probe: (0, gap 60) + (60, gap 60)
+    yields ONE session [0, 120)). Hypothesis found the >= variant
+    of this model (seed=1, n=29): an event at exactly a prior end
+    split the model's session where Spark merged."""
     import random
 
     from pyspark.sql import Window
@@ -492,7 +497,7 @@ def test_dynamic_session_window_equals_prefix_max_merge(spark, seed, n_events):
     tagged = flagged.withColumn(
         "new_s",
         F.when(
-            F.col("prev_max").isNull() | (F.col("sec") >= F.col("prev_max")), 1
+            F.col("prev_max").isNull() | (F.col("sec") > F.col("prev_max")), 1
         ).otherwise(0),
     ).withColumn(
         "sid",
