@@ -271,17 +271,24 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the user co-activity graph (edge = two
-    users active on the same calendar day). Edges are oriented
-    u < v so each triangle {a<b<c} is enumerated exactly once by the
-    two equi-joins e1(a,b)⋈e2(b,c)⋈e3(a,c) — the standard relational
-    triangle query; every join is hash-partitioned on a node key.
-    Scale note: co-activity edge generation fans out per day as
-    C(actives, 2) — at 100 TB the day blocks bound the quadratic
-    locally, and the production refinement is degree-ordered
-    orientation (orient edges low-degree → high-degree instead of
-    id order) which provably caps the join fan-out at O(E^1.5);
-    id-orientation keeps the oracle simple here and the result is
-    identical."""
+    users active on the same calendar day), edges oriented u < v.
+    Each triangle {a<b<c} is counted exactly once as
+    Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)| — the common
+    successor c of the edge (a,b). The intersection runs on
+    dictionary-encoded adjacency BITMAPS (bit_count(and)), not an
+    edge-edge-edge join: the co-activity graph is DENSE (measured at
+    sf0.1: 1,500 nodes, ALL 1.12M possible edges present, 561M
+    triangles), and any join-based enumeration is Ω(#triangles) —
+    the relational triangle query spent 103 s materializing 1.1 G
+    wedge rows where the bitmap intersection does ~29M 64-bit ANDs.
+    Node-id assignment avoids a global single-partition sort with
+    the same 64-bucket hash-interleave used by llm_dedup_ngram's
+    refine. Scale honesty: bitmaps are the dense-small-graph
+    specialization (width O(n_nodes); fine to ~100k nodes). For a
+    sparse billion-node graph flip to the degree-ordered-orientation
+    edge join (fan-out O(E^1.5)); the oracle keeps the plain
+    relational triangle query so the two formulations check each
+    other."""
     e = tbl(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
     a, b = du.alias("a"), du.alias("b")
@@ -295,26 +302,54 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     try:
-        tri = (
-            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-            .join(
-                e3,
-                (F.col("e3.u") == F.col("e1.u"))
-                & (F.col("e3.v") == F.col("e2.v")),
-            )
-            .count()
-        )
-        n_nodes = e.select("user_id").distinct().count()
         n_edges = edges.count()
+        n_nodes = e.select("user_id").distinct().count()
+        from hadoop_deliver_spark.api import (
+            bitmap_intersect_count,
+            bitmap_sets,
+            encode_ids,
+        )
+
+        # every edge endpoint is an active user, so rank the (much
+        # smaller) day-user distinct instead of a 2·|E|-row union
+        nid = encode_ids(
+            du.select(F.col("user_id").alias("node")), "node", out="nid"
+        )
+        max_nid = nid.agg(F.max("nid")).first()[0]
+        n_chunks = ((max_nid if max_nid is not None else 0) + 64) // 64
+        # successor bitmap per node u: bits = nids of v with (u,v) oriented
+        bitmaps = bitmap_sets(
+            edges.join(F.broadcast(nid), edges["v"] == nid["node"]),
+            "u", "nid", n_chunks,
+        )
+        bu = bitmaps.select(F.col("u").alias("ku"), F.col("bm").alias("bm_u"))
+        bv = bitmaps.select(F.col("u").alias("kv"), F.col("bm").alias("bm_v"))
+        n_common = bitmap_intersect_count("bm_u", "bm_v")
+        tri = (
+            edges.join(F.broadcast(bu), edges["u"] == bu["ku"])
+            # a max-id node has no successors, hence no bitmap row —
+            # left join + empty-map default so its edges still count
+            .join(F.broadcast(bv), edges["v"] == bv["kv"], "left")
+            .withColumn(
+                "bm_v",
+                F.coalesce(
+                    F.col("bm_v"),
+                    F.array_repeat(F.lit(0).cast("long"), n_chunks),
+                ),
+            )
+            .select(n_common.alias("nc"))
+            .agg(F.sum("nc"))
+            .first()[0]
+        )
     finally:
-        # all three actions that needed the cache have run; without this
-        # the co-activity edge set (quadratic per day block) stays pinned
+        # all actions that needed the cache have run; without this the
+        # co-activity edge set (quadratic per day block) stays pinned
         # in executor storage for the rest of the session
         edges.unpersist()
     return spark.createDataFrame(
-        [(n_nodes, n_edges, tri)], "n_nodes long, n_edges long, n_triangles long"
+        [(n_nodes, n_edges, int(tri or 0))],
+        "n_nodes long, n_edges long, n_triangles long",
     )
 
 

@@ -105,14 +105,34 @@ def llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("inner_doc", "outer_doc")
         .distinct()
     )
-    # exact refine: count the true intersection for candidate pairs
-    ia = inv.select(F.col("doc_id").alias("inner_doc"), "g")
-    ib = inv.select(F.col("doc_id").alias("outer_doc"), "g")
+    # exact refine: |A∩B| per candidate pair on dictionary-encoded
+    # bitmaps (api cores; same dense-small-vocabulary argument as the
+    # Jaccard twin — the gram re-join refine spent ~50 s at sf0.1
+    # re-exploding posting lists the bitmaps replace with ~n_chunks
+    # AND+popcounts per pair)
+    from hadoop_deliver_spark.api import (
+        bitmap_intersect_count,
+        bitmap_sets,
+        encode_ids,
+    )
+
+    gid = encode_ids(gdf, "g", out="gid")
+    max_gid = gid.agg(F.max("gid")).first()[0]
+    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
+    bitmaps = bitmap_sets(
+        inv.join(F.broadcast(gid), "g"), "doc_id", "gid", n_chunks
+    )
+    ba = bitmaps.select(
+        F.col("doc_id").alias("inner_doc"), F.col("bm").alias("bm_a")
+    )
+    bb = bitmaps.select(
+        F.col("doc_id").alias("outer_doc"), F.col("bm").alias("bm_b")
+    )
     inter = (
-        cands.join(ia, "inner_doc")
-        .join(ib, ["outer_doc", "g"])
-        .groupBy("inner_doc", "outer_doc")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cands.join(F.broadcast(ba), "inner_doc")
+        .join(F.broadcast(bb), "outer_doc")
+        .withColumn("n_inter", bitmap_intersect_count("bm_a", "bm_b"))
+        .select("inner_doc", "outer_doc", "n_inter")
     )
     sizes = grams.select("doc_id", F.size("gs").alias("sz"))
     return (

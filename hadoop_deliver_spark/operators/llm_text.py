@@ -50,10 +50,15 @@ LANG_MARKERS = {
                )) AS gs
         FROM documents
     ),
-    inv AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    inv AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams),
     inter AS (
+        -- the size-ratio predicate is lossless for the J >= 0.55 output
+        -- (J >= t implies t*|A| <= |B| <= |A|/t); it prunes the group-by
+        -- input of the otherwise-quadratic inverted-index self-join
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        FROM inv a JOIN inv b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+         AND b.n >= ceil(0.55 * a.n) AND b.n <= floor(a.n / 0.55)
         GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
@@ -142,50 +147,19 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only (id, id) pairs. Measured at sf0.1: 396 s → 59 s, same 256
     # pairs. For a natural large-vocab corpus, flip the refine back
     # to sorted-array intersection; the candidate stage is unchanged.
-    # Gram-id assignment WITHOUT a global single-partition sort: hash
-    # each gram into one of 64 buckets, rank within its bucket (the
-    # window is partitioned — parallel across buckets), and interleave
-    # as gid = rank·64 + bucket. Ids are collision-free and dense up to
-    # the bucket-balance factor (bitmap grows by max/mean bucket size,
-    # ~1.1× under xxhash64 balance), and no stage serializes on one
-    # task — the round-1 `Window.orderBy("g")` version did.
-    n_buckets = 64
-    wb = Window.partitionBy("pid").orderBy("g")
-    gid = (
-        gdf.withColumn("pid", F.pmod(F.xxhash64("g"), F.lit(n_buckets)).cast("int"))
-        .withColumn(
-            "gid", (F.row_number().over(wb) - 1) * n_buckets + F.col("pid")
-        )
-        .select("g", "gid")
-    )
+    # Gram-id assignment WITHOUT a global single-partition sort
+    # (api.encode_ids: 64-bucket hash-interleave — ids dense up to
+    # ~1.1× bucket balance, no stage serializes on one task; the
+    # round-1 `Window.orderBy("g")` version did).
+    from hadoop_deliver_spark.api import bitmap_sets, encode_ids
+
+    gid = encode_ids(gdf, "g", out="gid")
     # max() over an empty gram table (every doc shorter than the gram
     # width) is None — degrade to one empty chunk instead of crashing.
     max_gid = gid.agg(F.max("gid")).first()[0]
     n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-    chunks = (
-        inv.join(F.broadcast(gid), "g")
-        .withColumn("c", (F.col("gid") / 64).cast("int"))
-        .withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), gid % 64)"))
-        .groupBy("doc_id", "n", "c")
-        .agg(F.bit_or("bit").alias("m"))
-    )
-    bitmaps = (
-        chunks.groupBy("doc_id", "n")
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("c"), F.collect_list("m")
-            ).alias("cm")
-        )
-        .withColumn(
-            "bm",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda c: F.coalesce(
-                    F.try_element_at(F.col("cm"), c), F.lit(0).cast("long")
-                ),
-            ),
-        )
-        .select("doc_id", "n", "bm")
+    bitmaps = bitmap_sets(
+        inv.join(F.broadcast(gid), "g"), ["doc_id", "n"], "gid", n_chunks
     )
     ba = bitmaps.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
@@ -195,11 +169,9 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
         F.col("bm").alias("bm_b"),
     )
-    n_inter = F.aggregate(
-        F.zip_with("bm_a", "bm_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    from hadoop_deliver_spark.api import bitmap_intersect_count
+
+    n_inter = bitmap_intersect_count("bm_a", "bm_b")
     return (
         cands.join(F.broadcast(ba), "doc_a")
         .join(F.broadcast(bb), "doc_b")

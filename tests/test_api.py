@@ -242,3 +242,48 @@ def test_canonical_url_collapses_and_is_idempotent(spark):
         .collect()
     ]
     assert again == out
+
+
+def test_encode_ids_dense_collision_free(spark):
+    vals = spark.createDataFrame(
+        [(f"item{i}",) for i in range(2000)], "name string"
+    )
+    got = api.encode_ids(vals, "name", out="code").collect()
+    codes = [r.code for r in got]
+    assert len(set(codes)) == 2000  # collision-free
+    assert min(codes) >= 0
+    # dense up to the bucket-balance factor: max id < 64 * fullest bucket
+    # (≈1.3x ideal at n=2000 under xxhash64 balance)
+    assert max(codes) < 2000 * 1.5
+    # deterministic across invocations
+    again = {r.name: r.code for r in api.encode_ids(vals, "name", out="code").collect()}
+    assert again == {r.name: r.code for r in got}
+
+
+def test_bitmap_sets_intersect_count_matches_set_intersection(spark):
+    # three sets over a 100-item vocabulary, incl. multi-chunk codes
+    import random
+
+    rng = random.Random(7)
+    sets = {k: set(rng.sample(range(100), 40)) for k in ("a", "b", "c")}
+    pairs = spark.createDataFrame(
+        [(k, v) for k, vs in sets.items() for v in vs], "sk string, item int"
+    )
+    vocab = api.encode_ids(pairs.select("item"), "item", out="code")
+    max_code = vocab.agg(F.max("code")).first()[0]
+    n_chunks = max_code // 64 + 1
+    assert n_chunks >= 2  # exercise multi-chunk assembly
+    coded = pairs.join(vocab, "item")
+    bms = api.bitmap_sets(coded, "sk", "code", n_chunks)
+    assert all(len(r.bm) == n_chunks for r in bms.collect())
+    lhs = bms.select(F.col("sk").alias("ka"), F.col("bm").alias("bm_x"))
+    rhs = bms.select(F.col("sk").alias("kb"), F.col("bm").alias("bm_y"))
+    got = {
+        (r.ka, r.kb): r.n
+        for r in lhs.crossJoin(rhs)
+        .withColumn("n", api.bitmap_intersect_count("bm_x", "bm_y"))
+        .collect()
+    }
+    for ka in sets:
+        for kb in sets:
+            assert got[(ka, kb)] == len(sets[ka] & sets[kb])
