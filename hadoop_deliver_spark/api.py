@@ -55,6 +55,8 @@ __all__ = [
     "encode_ids",
     "bitmap_sets",
     "bitmap_intersect_count",
+    "char_gram_sets",
+    "jaccard_pairs",
 ]
 
 
@@ -553,6 +555,129 @@ def bitmap_intersect_count(a, b) -> Column:
         F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+def char_gram_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, out: str = "gs"
+) -> DataFrame:
+    """(id_col, out array<string>) — distinct character k-grams of a
+    text column, built columnar (transform over offsets), map-only.
+    Texts shorter than k get an EMPTY set: without the guard,
+    F.sequence(1, n−k+1) DESCENDS for n<k (default step −1) and would
+    fabricate grams."""
+    text = F.col(text_col)
+    return df.select(
+        id_col,
+        F.when(
+            F.length(text) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text) - (k - 1)),
+                    lambda i: text.substr(i, F.lit(k)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias(out),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.55,
+    char_k: int = 5,
+) -> DataFrame:
+    """EXACT character-k-gram Jaccard near-dup pairs
+    (id_a, id_b, jaccard float) with J ≥ threshold — the
+    deterministic complement of :func:`minhash_pairs` (no hash
+    recall; every qualifying pair is returned, bit-for-bit
+    reproducible across engines).
+
+    Shape: PPJoin-style prefix filter (Xiao et al., public
+    algorithm) — grams ordered globally by document frequency asc;
+    two sets with J ≥ t MUST share a gram within each one's first
+    |x| − ⌈t·|x|⌉ + 1 grams, so only rare-gram prefixes join (one
+    extra slot kept as ceiling-arithmetic margin). A lossless
+    size-ratio predicate (t·|A| ≤ |B| ≤ |A|/t) prunes the candidate
+    join, and the exact refine runs on dictionary-encoded bitmaps
+    (:func:`bitmap_sets` — Σ bit_count(a&b) per pair, codegen'd).
+    Driver-side state: one scalar collect (max gram id). The bitmap
+    table is |corpus| × |vocab|/64 longs and is broadcast — the
+    dense-small-vocabulary fast path; for a natural web-scale corpus
+    (vocab ~ corpus) swap the two broadcast joins for shuffle joins
+    and the refine for sorted-array intersection; the candidate
+    stages are unchanged and remain the sub-quadratic story.
+
+    >>> jaccard_pairs(docs, "pk", "body", threshold=0.6)
+    """
+    t = threshold
+    grams = char_gram_sets(df, id_col, text_col, k=char_k).cache()
+    inv = grams.select(
+        id_col, F.size("gs").alias("_jp_n"), F.explode("gs").alias("_jp_g")
+    )
+    gdf = inv.groupBy("_jp_g").agg(F.count(F.lit(1)).alias("_jp_gdf"))
+    wg = Window.partitionBy(id_col).orderBy("_jp_gdf", "_jp_g")
+    prefix = (
+        inv.join(F.broadcast(gdf), "_jp_g")
+        .withColumn("_jp_rk", F.row_number().over(wg))
+        .filter(
+            F.col("_jp_rk")
+            <= F.col("_jp_n") - F.ceil(F.lit(t) * F.col("_jp_n")) + 2
+        )
+        .select(id_col, "_jp_n", "_jp_g")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("_jp_n").alias("na"), "_jp_g"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("_jp_n").alias("nb"), "_jp_g"
+    )
+    cands = (
+        a.join(b, ["_jp_g"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+            & (F.col("nb") <= F.floor(F.col("na") / F.lit(t)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
+    max_gid = gid.agg(F.max("_jp_gid")).first()[0]
+    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
+    bitmaps = bitmap_sets(
+        inv.join(F.broadcast(gid), "_jp_g"),
+        [id_col, "_jp_n"],
+        "_jp_gid",
+        n_chunks,
+    )
+    ba = bitmaps.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_jp_n").alias("na"),
+        F.col("bm").alias("_jp_bm_a"),
+    )
+    bb = bitmaps.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_jp_n").alias("nb"),
+        F.col("bm").alias("_jp_bm_b"),
+    )
+    n_inter = bitmap_intersect_count("_jp_bm_a", "_jp_bm_b")
+    return (
+        cands.join(F.broadcast(ba), "id_a")
+        .join(F.broadcast(bb), "id_b")
+        .withColumn("_jp_ni", n_inter)
+        .withColumn(
+            "jaccard",
+            F.col("_jp_ni") / (F.col("na") + F.col("nb") - F.col("_jp_ni")),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select(
+            "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+        )
     )
 
 

@@ -64,21 +64,10 @@ def llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard twin. Restricted to the doc_id % 4 slice — containment
     posting lists have no upper size-ratio bound, so the demo bounds
     corpus fan-out by sampling, not by weakening the algorithm."""
+    from hadoop_deliver_spark.api import char_gram_sets
+
     d = tbl(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
-    grams = d.select(
-        "doc_id",
-        F.when(
-            F.length("text") >= 5,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - 4),
-                    lambda i: F.col("text").substr(i, F.lit(5)),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("gs"),
-    ).cache()
+    grams = char_gram_sets(d, "doc_id", "text", k=5).cache()
     inv = grams.select(
         "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("g")
     )

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from hadoop_deliver_spark.registry import register
 from hadoop_deliver_spark.tables import tbl
@@ -87,101 +86,22 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     total) and the bitmap refine handles the volume in bit ops. On a
     natural corpus (vocabulary ~ corpus size) the same prefix filter
     is what makes this op sub-quadratic; the shape, not the fixture
-    timing, is the 100 TB story."""
-    t = 0.55
+    timing, is the 100 TB story.
+
+    Core: api.jaccard_pairs (column-parameterized; PPJoin prefix +
+    size-ratio candidates, api.bitmap_sets refine)."""
+    from hadoop_deliver_spark.api import jaccard_pairs
+
     d = tbl(spark, sf_dir, "documents")
-    # guard: F.sequence descends for texts shorter than 5 chars (step
-    # defaults to −1), which would fabricate grams; DuckDB's range is
-    # empty there, so emit an empty set to stay engine-identical.
-    grams = d.select(
-        "doc_id",
-        F.when(
-            F.length("text") >= 5,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - 4),
-                    lambda i: F.col("text").substr(i, F.lit(5)),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("gs"),
-    ).cache()
-    inv = grams.select("doc_id", F.size("gs").alias("n"), F.explode("gs").alias("g"))
-    # PPJoin-style prefix filtering (Xiao et al., public algorithm):
-    # order grams globally by document frequency asc; two sets with
-    # J ≥ t MUST share a gram within each one's first
-    # |x| − ⌈t·|x|⌉ + 1 grams in that order. Joining only on these
-    # rare-gram prefixes is lossless for the threshold and removes
-    # the common-gram fan-out that makes the naive inverted-index
-    # join quadratic on high-overlap corpora (313 s → seconds at
-    # sf0.1). One extra prefix slot kept as ceiling-arithmetic margin.
-    gdf = inv.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
-    wg = Window.partitionBy("doc_id").orderBy("gdf", "g")
-    prefix = (
-        inv.join(F.broadcast(gdf), "g")
-        .withColumn("rk", F.row_number().over(wg))
-        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 2)
-        .select("doc_id", "n", "g")
-    )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "g")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "g")
-    # size-ratio filter is also lossless: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
-    cands = (
-        a.join(b, ["g"])
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
-            & (F.col("nb") <= F.floor(F.col("na") / F.lit(t)))
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # Exact refine via dictionary-encoded bitsets: the corpus gram
-    # vocabulary is tiny relative to the corpus (measured: 2,041
-    # distinct 5-grams for 5,000 docs at sf0.1 — synthetic small
-    # vocabulary), so each doc's gram set fits a |vocab|-bit bitmap
-    # (~32 longs). Intersection = Σ bit_count(a&b): ~32 codegen'd ops
-    # per candidate instead of a 500-element array_intersect, and the
-    # whole bitmap table broadcasts (~1.5 MB), so candidates shuffle
-    # only (id, id) pairs. Measured at sf0.1: 396 s → 59 s, same 256
-    # pairs. For a natural large-vocab corpus, flip the refine back
-    # to sorted-array intersection; the candidate stage is unchanged.
-    # Gram-id assignment WITHOUT a global single-partition sort
-    # (api.encode_ids: 64-bucket hash-interleave — ids dense up to
-    # ~1.1× bucket balance, no stage serializes on one task; the
-    # round-1 `Window.orderBy("g")` version did).
-    from hadoop_deliver_spark.api import bitmap_sets, encode_ids
-
-    gid = encode_ids(gdf, "g", out="gid")
-    # max() over an empty gram table (every doc shorter than the gram
-    # width) is None — degrade to one empty chunk instead of crashing.
-    max_gid = gid.agg(F.max("gid")).first()[0]
-    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-    bitmaps = bitmap_sets(
-        inv.join(F.broadcast(gid), "g"), ["doc_id", "n"], "gid", n_chunks
-    )
-    ba = bitmaps.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
-        F.col("bm").alias("bm_a"),
-    )
-    bb = bitmaps.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
-        F.col("bm").alias("bm_b"),
-    )
-    from hadoop_deliver_spark.api import bitmap_intersect_count
-
-    n_inter = bitmap_intersect_count("bm_a", "bm_b")
     return (
-        cands.join(F.broadcast(ba), "doc_a")
-        .join(F.broadcast(bb), "doc_b")
-        .withColumn("n_inter", n_inter)
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        jaccard_pairs(
+            d.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            threshold=0.55,
+            char_k=5,
         )
-        .filter(F.col("jaccard") >= t)
-        .select("doc_a", "doc_b", F.col("jaccard").cast("float").alias("jaccard"))
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
         .orderBy("doc_a", "doc_b")
     )
 

@@ -287,3 +287,22 @@ def test_bitmap_sets_intersect_count_matches_set_intersection(spark):
     for ka in sets:
         for kb in sets:
             assert got[(ka, kb)] == len(sets[ka] & sets[kb])
+
+
+def test_jaccard_pairs_exact_on_custom_columns(spark):
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    near = base[:-2] + "xy"  # high 5-gram overlap
+    other = "zzzzzyyyyyxxxxxwwwwwvvvvvuuuuutttttsssss"
+    df = spark.createDataFrame(
+        [(7, base), (8, near), (9, other), (10, "tiny")],
+        "pk long, body string",
+    )
+    got = api.jaccard_pairs(df, "pk", "body", threshold=0.5, char_k=5).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(7, 8)]
+    # exact value: grams(base)=32, grams(near)=32, shared=30 -> 30/34
+    import math
+
+    g = lambda s: {s[i : i + 5] for i in range(len(s) - 4)}
+    inter = len(g(base) & g(near))
+    union = len(g(base) | g(near))
+    assert math.isclose(got[0].jaccard, inter / union, rel_tol=1e-6)
