@@ -57,6 +57,7 @@ __all__ = [
     "bitmap_intersect_count",
     "char_gram_sets",
     "jaccard_pairs",
+    "containment_pairs",
 ]
 
 
@@ -678,6 +679,106 @@ def jaccard_pairs(
         .select(
             "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.85,
+    char_k: int = 5,
+) -> DataFrame:
+    """EXACT character-k-gram containment pairs
+    (inner_id, outer_id, containment float) with
+    C(A,B) = |A∩B| / |A| ≥ threshold, where A is the smaller gram set
+    (ties broken by id) — the asymmetric complement of
+    :func:`jaccard_pairs`: catches a short document wholly embedded
+    in a longer one (quotes, boilerplate, subset crawls), which
+    symmetric Jaccard scores low.
+
+    Shape: prefix filter on the CONTAINED side only — A must share
+    one of its ⌈(1−t)·|A|⌉+1 rarest grams with B (if all of A's
+    prefix grams miss B, fewer than t·|A| grams can intersect), so
+    the inner side is prefix-pruned while the outer side keeps its
+    full posting list; exact refine on :func:`bitmap_sets` bitmaps.
+    Containment has NO upper size-ratio bound, so candidate fan-out
+    is larger than the Jaccard twin's — at corpus scale cap gram
+    document-frequency (drop grams in >X% of docs) or shard the
+    outer side. Driver-side state: one scalar collect (max gram id).
+
+    >>> containment_pairs(docs, "pk", "body", threshold=0.9)
+    """
+    t = threshold
+    grams = char_gram_sets(df, id_col, text_col, k=char_k).cache()
+    inv = grams.select(
+        id_col, F.size("gs").alias("_cp_n"), F.explode("gs").alias("_cp_g")
+    )
+    gdf = inv.groupBy("_cp_g").agg(F.count(F.lit(1)).alias("_cp_gdf"))
+    wg = Window.partitionBy(id_col).orderBy("_cp_gdf", "_cp_g")
+    prefix = (
+        inv.join(F.broadcast(gdf), "_cp_g")
+        .withColumn("_cp_rk", F.row_number().over(wg))
+        .filter(
+            F.col("_cp_rk") <= F.ceil(F.lit(1.0 - t) * F.col("_cp_n")) + 2
+        )
+        .select(F.col(id_col).alias("inner_id"), "_cp_g")
+    )
+    full_b = inv.select(F.col(id_col).alias("outer_id"), "_cp_g")
+    cands = (
+        prefix.join(full_b, "_cp_g")
+        .where(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    gid = encode_ids(gdf, "_cp_g", out="_cp_gid")
+    max_gid = gid.agg(F.max("_cp_gid")).first()[0]
+    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
+    bitmaps = bitmap_sets(
+        inv.join(F.broadcast(gid), "_cp_g"), id_col, "_cp_gid", n_chunks
+    )
+    ba = bitmaps.select(
+        F.col(id_col).alias("inner_id"), F.col("bm").alias("_cp_bm_a")
+    )
+    bb = bitmaps.select(
+        F.col(id_col).alias("outer_id"), F.col("bm").alias("_cp_bm_b")
+    )
+    inter = (
+        cands.join(F.broadcast(ba), "inner_id")
+        .join(F.broadcast(bb), "outer_id")
+        .withColumn(
+            "_cp_ni", bitmap_intersect_count("_cp_bm_a", "_cp_bm_b")
+        )
+        .select("inner_id", "outer_id", "_cp_ni")
+    )
+    sizes = grams.select(id_col, F.size("gs").alias("_cp_sz"))
+    return (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("inner_id"), F.col("_cp_sz").alias("na")
+            ),
+            "inner_id",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("outer_id"), F.col("_cp_sz").alias("nb")
+            ),
+            "outer_id",
+        )
+        .withColumn("_cp_r", F.col("_cp_ni").cast("double") / F.col("na"))
+        .withColumn("containment", F.col("_cp_r").cast("float"))
+        .where(
+            (F.col("_cp_r") >= t)
+            & (
+                (F.col("na") < F.col("nb"))
+                | (
+                    (F.col("na") == F.col("nb"))
+                    & (F.col("inner_id") < F.col("outer_id"))
+                )
+            )
+        )
+        .select("inner_id", "outer_id", "containment")
     )
 
 

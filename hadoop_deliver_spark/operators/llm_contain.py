@@ -10,7 +10,7 @@ subset-crawl dedup keys on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_deliver_spark.registry import register
@@ -63,92 +63,26 @@ def llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB add a gram document-frequency cap exactly as in the
     Jaccard twin. Restricted to the doc_id % 4 slice — containment
     posting lists have no upper size-ratio bound, so the demo bounds
-    corpus fan-out by sampling, not by weakening the algorithm."""
-    from hadoop_deliver_spark.api import char_gram_sets
+    corpus fan-out by sampling, not by weakening the algorithm.
+
+    The ratio filters on the DOUBLE value with the same literal as
+    the oracle (bit-identical comparison) and emits float32.
+
+    Core: api.containment_pairs (column-parameterized; inner-side
+    prefix filter + api.bitmap_sets refine)."""
+    from hadoop_deliver_spark.api import containment_pairs
 
     d = tbl(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
-    grams = char_gram_sets(d, "doc_id", "text", k=5).cache()
-    inv = grams.select(
-        "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("g")
-    )
-    # prefix filter on the contained side only (lossless for C ≥ t):
-    # rarest-gram order, keep ⌈(1−t)·n⌉ + 1 slots (+1 margin).
-    gdf = inv.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
-    wg = Window.partitionBy("doc_id").orderBy("gdf", "g")
-    prefix = (
-        inv.join(F.broadcast(gdf), "g")
-        .withColumn("rk", F.row_number().over(wg))
-        .filter(F.col("rk") <= F.ceil(F.lit(1.0 - _T) * F.col("n")) + 2)
-        .select(
-            F.col("doc_id").alias("inner_doc"),
-            F.col("n").alias("na"),
-            "g",
-        )
-    )
-    full_b = inv.select(
-        F.col("doc_id").alias("outer_doc"), F.col("n").alias("nb"), "g"
-    )
-    cands = (
-        prefix.join(full_b, "g")
-        .where(F.col("inner_doc") != F.col("outer_doc"))
-        .select("inner_doc", "outer_doc")
-        .distinct()
-    )
-    # exact refine: |A∩B| per candidate pair on dictionary-encoded
-    # bitmaps (api cores; same dense-small-vocabulary argument as the
-    # Jaccard twin — the gram re-join refine spent ~50 s at sf0.1
-    # re-exploding posting lists the bitmaps replace with ~n_chunks
-    # AND+popcounts per pair)
-    from hadoop_deliver_spark.api import (
-        bitmap_intersect_count,
-        bitmap_sets,
-        encode_ids,
-    )
-
-    gid = encode_ids(gdf, "g", out="gid")
-    max_gid = gid.agg(F.max("gid")).first()[0]
-    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-    bitmaps = bitmap_sets(
-        inv.join(F.broadcast(gid), "g"), "doc_id", "gid", n_chunks
-    )
-    ba = bitmaps.select(
-        F.col("doc_id").alias("inner_doc"), F.col("bm").alias("bm_a")
-    )
-    bb = bitmaps.select(
-        F.col("doc_id").alias("outer_doc"), F.col("bm").alias("bm_b")
-    )
-    inter = (
-        cands.join(F.broadcast(ba), "inner_doc")
-        .join(F.broadcast(bb), "outer_doc")
-        .withColumn("n_inter", bitmap_intersect_count("bm_a", "bm_b"))
-        .select("inner_doc", "outer_doc", "n_inter")
-    )
-    sizes = grams.select("doc_id", F.size("gs").alias("sz"))
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"doc_id": "inner_doc", "sz": "na"}),
-            "inner_doc",
+        containment_pairs(
+            d.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            threshold=_T,
+            char_k=5,
         )
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "outer_doc", "sz": "nb"}),
-            "outer_doc",
+        .withColumnsRenamed(
+            {"inner_id": "inner_doc", "outer_id": "outer_doc"}
         )
-        # filter on the DOUBLE ratio (same IEEE divide + same literal
-        # as the oracle — bit-identical comparison); emit as float
-        .withColumn(
-            "ratio_d", F.col("n_inter").cast("double") / F.col("na")
-        )
-        .withColumn("containment", F.col("ratio_d").cast("float"))
-        .where(
-            (F.col("ratio_d") >= _T)
-            & (
-                (F.col("na") < F.col("nb"))
-                | (
-                    (F.col("na") == F.col("nb"))
-                    & (F.col("inner_doc") < F.col("outer_doc"))
-                )
-            )
-        )
-        .select("inner_doc", "outer_doc", "containment")
         .orderBy("inner_doc", "outer_doc")
     )

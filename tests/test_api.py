@@ -306,3 +306,18 @@ def test_jaccard_pairs_exact_on_custom_columns(spark):
     inter = len(g(base) & g(near))
     union = len(g(base) | g(near))
     assert math.isclose(got[0].jaccard, inter / union, rel_tol=1e-6)
+
+
+def test_containment_pairs_finds_embedded_doc(spark):
+    long_doc = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"
+    short_doc = long_doc[5:25]  # wholly embedded substring
+    other = "zzzzzyyyyyxxxxxwwwwwvvvvv"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)], "pk long, body string"
+    )
+    got = api.containment_pairs(
+        df, "pk", "body", threshold=0.9, char_k=5
+    ).collect()
+    # short_doc's grams are all in long_doc -> containment 1.0
+    assert [(r.inner_id, r.outer_id) for r in got] == [(2, 1)]
+    assert abs(got[0].containment - 1.0) < 1e-6
