@@ -116,70 +116,22 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bytes of state. Rows-only: the fingerprint bit pattern derives
     from Spark's xxhash64 and has no cross-engine twin; the decision
     quality is cross-checked by llm_dedup_ngram_jaccard over the same
-    corpus."""
-    d = tbl(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = toks.withColumn("th", F.xxhash64("tok"))
-    # per-bit vote: +1 if bit set, −1 otherwise; fingerprint bit = vote>0
-    def bit(i):
-        # 1<<63 overflows a JVM long literal; shiftleft computes it
-        return F.shiftleft(F.lit(1).cast("long"), i)
+    corpus.
 
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("th").bitwiseAND(bit(i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    fp = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, bit(i)).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).cast("long").alias("fp"),
-    )
-    # band blocking: 4 bands of 16 bits; candidates share any band
-    bands = fp.select(
-        "doc_id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("fp", 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "bv"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band",
-        F.col("bv").alias("bv_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"),
-        F.col("band").alias("band_b"), F.col("bv").alias("bv_b"),
-    )
-    cands = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bv_a") == F.col("bv_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
+    Core: api.simhash_pairs (column-parameterized; per-bit vote
+    fingerprint, band blocking, Hamming refine)."""
+    from hadoop_deliver_spark.api import simhash_pairs
+
+    d = tbl(spark, sf_dir, "documents")
     return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        simhash_pairs(
+            d.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            hamming_max=8,
+            n_bands=4,
         )
-        .filter(F.col("hamming") <= 8)
-        .select("doc_a", "doc_b", "hamming")
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
         .orderBy("doc_a", "doc_b")
     )
 

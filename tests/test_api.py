@@ -321,3 +321,15 @@ def test_containment_pairs_finds_embedded_doc(spark):
     # short_doc's grams are all in long_doc -> containment 1.0
     assert [(r.inner_id, r.outer_id) for r in got] == [(2, 1)]
     assert abs(got[0].containment - 1.0) < 1e-6
+
+
+def test_simhash_pairs_identical_docs_distance_zero(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "one two three four five six seven")],
+        "pk long, body string",
+    )
+    got = api.simhash_pairs(df, "pk", "body", hamming_max=3).collect()
+    # identical docs share every band and have hamming 0; the unrelated
+    # doc must not pair at distance <= 3
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
