@@ -59,6 +59,7 @@ __all__ = [
     "jaccard_pairs",
     "containment_pairs",
     "simhash_pairs",
+    "triangle_count",
 ]
 
 
@@ -781,6 +782,62 @@ def containment_pairs(
         )
         .select("inner_id", "outer_id", "containment")
     )
+
+
+def triangle_count(edges: DataFrame, src: str, dst: str) -> int:
+    """EXACT triangle count of an undirected simple graph given as an
+    edge list (self-loops and duplicate/reverse edges are normalized
+    away). Each triangle {a<b<c} is counted once as
+    Σ over oriented edges (u,v), u<v, of |N⁺(u) ∩ N⁺(v)| on
+    dictionary-encoded successor bitmaps (:func:`bitmap_sets`) —
+    the dense-graph formulation: ~|E|·(|V|/64) AND+popcount ops
+    instead of the Ω(#triangles) relational edge-edge-edge join.
+    Returns a Python int (one aggregate action); driver-side state
+    is two scalars. Bitmap width is O(|V|) — right up to ~100k
+    nodes; for sparse billion-node graphs use the degree-ordered
+    orientation edge join instead (O(E^1.5) fan-out).
+
+    >>> triangle_count(pairs, "id_a", "id_b")
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("_tc_u"),
+        F.greatest(F.col(src), F.col(dst)).alias("_tc_v"),
+    ).filter(F.col("_tc_u") < F.col("_tc_v")).distinct()
+    nid = encode_ids(
+        e.select(F.col("_tc_u").alias("_tc_n"))
+        .union(e.select(F.col("_tc_v").alias("_tc_n"))),
+        "_tc_n",
+        out="_tc_id",
+    )
+    max_nid = nid.agg(F.max("_tc_id")).first()[0]
+    if max_nid is None:
+        return 0
+    n_chunks = max_nid // 64 + 1
+    bitmaps = bitmap_sets(
+        e.join(F.broadcast(nid), e["_tc_v"] == nid["_tc_n"]),
+        "_tc_u",
+        "_tc_id",
+        n_chunks,
+    )
+    bu = bitmaps.select(F.col("_tc_u").alias("_tc_ku"), F.col("bm").alias("_tc_bm_u"))
+    bv = bitmaps.select(F.col("_tc_u").alias("_tc_kv"), F.col("bm").alias("_tc_bm_v"))
+    tri = (
+        e.join(F.broadcast(bu), e["_tc_u"] == bu["_tc_ku"])
+        # a max-id node has no successors, hence no bitmap row — left
+        # join + zero bitmap so its edges still count
+        .join(F.broadcast(bv), e["_tc_v"] == bv["_tc_kv"], "left")
+        .withColumn(
+            "_tc_bm_v",
+            F.coalesce(
+                F.col("_tc_bm_v"),
+                F.array_repeat(F.lit(0).cast("long"), n_chunks),
+            ),
+        )
+        .select(bitmap_intersect_count("_tc_bm_u", "_tc_bm_v").alias("_tc_c"))
+        .agg(F.sum("_tc_c"))
+        .first()[0]
+    )
+    return int(tri or 0)
 
 
 def simhash_pairs(

@@ -288,7 +288,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse billion-node graph flip to the degree-ordered-orientation
     edge join (fan-out O(E^1.5)); the oracle keeps the plain
     relational triangle query so the two formulations check each
-    other."""
+    other.
+
+    Core: api.triangle_count (column-parameterized; also fuzzed
+    against a brute-force count on random graphs in
+    tests/test_hypothesis.py)."""
     e = tbl(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
     a, b = du.alias("a"), du.alias("b")
@@ -305,50 +309,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n_edges = edges.count()
         n_nodes = e.select("user_id").distinct().count()
-        from hadoop_deliver_spark.api import (
-            bitmap_intersect_count,
-            bitmap_sets,
-            encode_ids,
-        )
+        from hadoop_deliver_spark.api import triangle_count
 
-        # every edge endpoint is an active user, so rank the (much
-        # smaller) day-user distinct instead of a 2·|E|-row union
-        nid = encode_ids(
-            du.select(F.col("user_id").alias("node")), "node", out="nid"
-        )
-        max_nid = nid.agg(F.max("nid")).first()[0]
-        n_chunks = ((max_nid if max_nid is not None else 0) + 64) // 64
-        # successor bitmap per node u: bits = nids of v with (u,v) oriented
-        bitmaps = bitmap_sets(
-            edges.join(F.broadcast(nid), edges["v"] == nid["node"]),
-            "u", "nid", n_chunks,
-        )
-        bu = bitmaps.select(F.col("u").alias("ku"), F.col("bm").alias("bm_u"))
-        bv = bitmaps.select(F.col("u").alias("kv"), F.col("bm").alias("bm_v"))
-        n_common = bitmap_intersect_count("bm_u", "bm_v")
-        tri = (
-            edges.join(F.broadcast(bu), edges["u"] == bu["ku"])
-            # a max-id node has no successors, hence no bitmap row —
-            # left join + empty-map default so its edges still count
-            .join(F.broadcast(bv), edges["v"] == bv["kv"], "left")
-            .withColumn(
-                "bm_v",
-                F.coalesce(
-                    F.col("bm_v"),
-                    F.array_repeat(F.lit(0).cast("long"), n_chunks),
-                ),
-            )
-            .select(n_common.alias("nc"))
-            .agg(F.sum("nc"))
-            .first()[0]
-        )
+        tri = triangle_count(edges, "u", "v")
     finally:
         # all actions that needed the cache have run; without this the
         # co-activity edge set (quadratic per day block) stays pinned
         # in executor storage for the rest of the session
         edges.unpersist()
     return spark.createDataFrame(
-        [(n_nodes, n_edges, int(tri or 0))],
+        [(n_nodes, n_edges, tri)],
         "n_nodes long, n_edges long, n_triangles long",
     )
 

@@ -549,3 +549,93 @@ def test_ranking_cores_survive_empty_and_tiny_inputs(spark):
             "value", "key", "c",
         ).collect()
     ] == [(1, 1, 7)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_nodes=st.integers(min_value=0, max_value=24),
+    p_pct=st.sampled_from([15, 40, 80]),
+)
+def test_triangle_count_equals_bruteforce_on_random_graphs(
+    spark, seed, n_nodes, p_pct
+):
+    """api.triangle_count (bitmap successor-intersection formulation)
+    must equal a first-principles enumeration over random graphs —
+    including messy inputs: duplicate edges, both orientations of the
+    same edge, and self-loops, all of which the core must normalize
+    away."""
+    import itertools
+    import random
+
+    from hadoop_deliver_spark import api
+
+    rng = random.Random(seed)
+    raw = []
+    und = set()
+    for u, v in itertools.combinations(range(n_nodes), 2):
+        if rng.randrange(100) < p_pct:
+            und.add((u, v))
+            raw.append((u, v) if rng.random() < 0.5 else (v, u))
+            if rng.random() < 0.3:
+                raw.append((u, v))  # duplicate
+    for u in range(n_nodes):
+        if rng.random() < 0.2:
+            raw.append((u, u))  # self-loop
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(range(n_nodes), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    df = spark.createDataFrame(raw or [(0, 0)], "x long, y long")
+    assert api.triangle_count(df, "x", "y") == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_docs=st.integers(min_value=1, max_value=14),
+    t=st.sampled_from([0.3, 0.55, 0.8]),
+)
+def test_jaccard_pairs_equals_bruteforce_on_random_texts(
+    spark, seed, n_docs, t
+):
+    """api.jaccard_pairs (PPJoin prefix + size-ratio candidates +
+    bitmap refine) must return EXACTLY the brute-force J >= t pairs.
+    Texts draw from a 2-letter alphabet with lengths straddling the
+    gram width (0..24 over k=5), so high-overlap sets, empty gram
+    sets, and threshold-boundary ratios all occur — probing the
+    losslessness of the prefix bound's ceiling arithmetic, which the
+    fixtures never stress."""
+    import random
+
+    from hadoop_deliver_spark import api
+
+    rng = random.Random(seed)
+    texts = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 24))))
+        for i in range(n_docs)
+    ]
+
+    def grams(s):
+        return {s[i : i + 5] for i in range(len(s) - 4)} if len(s) >= 5 else set()
+
+    want = {}
+    for i, (ia, ta) in enumerate(texts):
+        for ib, tb in texts[i + 1 :]:
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)  # same IEEE double as Spark
+            if j >= t:
+                want[(ia, ib)] = j
+    df = spark.createDataFrame(texts, "pk long, body string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in api.jaccard_pairs(
+            df, "pk", "body", threshold=t, char_k=5
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
