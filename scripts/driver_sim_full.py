@@ -29,27 +29,41 @@ timings = {}
 t0 = time.time()
 for name in sorted(q):
     tq = time.time()
+    t_oracle = t_cmp = 0.0
     try:
         spdf = q[name](spark, sf).toPandas()
+        t_spark = time.time() - tq
         if name in oracles and oracles[name]:
-            assert_frames_match(spdf, duck.execute(oracles[name]).df(), name)
+            odf = duck.execute(oracles[name]).df()
+            t_oracle = time.time() - tq - t_spark
+            assert_frames_match(spdf, odf, name)
+            t_cmp = time.time() - tq - t_spark - t_oracle
             n_match += 1
         else:
             assert len(spdf.columns) > 0
             n_rowsonly += 1
     except Exception as e:
         fails.append((name, str(e)[:200]))
-    timings[name] = round(time.time() - tq, 3)
+        t_spark = time.time() - tq
+    timings[name] = {
+        "total": round(time.time() - tq, 3),
+        "spark": round(t_spark, 3),
+        "oracle": round(t_oracle, 3),
+        "compare": round(t_cmp, 3),
+    }
 print(f"FULL DRIVER-SIM: {n_match} hash-match + {n_rowsonly} rows-only "
       f"of {len(q)} | fails={len(fails)} | {round(time.time()-t0,1)}s")
 for f in fails: print("FAIL:", f)
 
-# per-query cost artifact: Spark execution + oracle + compare per entry
-# (first-touch entries also pay one-time fixture staging); top offenders
-# drive the optimization loop the round verdicts ask for
+# per-query cost artifact, split into Spark execution vs DuckDB oracle vs
+# compare (so engine cost is never conflated with harness cost; first-touch
+# entries also pay one-time fixture staging inside their spark share). Top
+# offenders drive the optimization loop the round verdicts ask for.
 import json
 with open("/root/repo/TIMINGS.json", "w") as fh:
     json.dump({"sf": sf, "total_sec": round(time.time() - t0, 1),
                "per_query_sec": timings}, fh, indent=1, sort_keys=True)
-top = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
-print("TOP-20 SLOWEST:", ", ".join(f"{k}={v}s" for k, v in top))
+top = sorted(timings.items(), key=lambda kv: -kv[1]["total"])[:20]
+print("TOP-20 SLOWEST:", ", ".join(
+    f"{k}={v['total']}s (spark {v['spark']}/oracle {v['oracle']})"
+    for k, v in top))
