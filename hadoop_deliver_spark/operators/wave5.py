@@ -1,0 +1,166 @@
+"""§2 extensions, round-5 wave — interval analytics + multimodal
+frame sampling.
+
+- events_peak_concurrency: sweep-line peak concurrent sessions per
+  hour — the classic interval-overlap aggregate (capacity planning,
+  licensing, connection-pool sizing) that no point-in-time groupBy
+  can express: concurrency is a PREFIX SUM over interval boundary
+  events, not a property of any single row.
+- llm_multimodal_framesample: every-kth-frame sampling over an opaque
+  video-bytes column — completes the multimodal plumbing family
+  (decode / feature-extract / pack / frame-sample); the real codec is
+  stubbed (no video libs in this container) behind deterministic
+  byte-level frame features, with the Spark-side schema, Arrow
+  batching, and per-frame explode real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import tbl
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH pts AS (
+        SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE, -1 FROM events
+    ),
+    swept AS (
+        SELECT t,
+               sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT strftime(t, '%Y-%m-%d %H:00') AS hour,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY 1 ORDER BY hour
+    """,
+    tags=("events", "interval"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 15-minute sessions per hour via a sweep line:
+    +1 at each session start, −1 at its end, prefix-sum in global
+    (t, d) order — d ascending puts ends before coincident starts,
+    i.e. half-open [start, start+15min) intervals. The per-hour max
+    samples the concurrency curve at boundary points falling in that
+    hour (identical formula on both engines, so the sampling
+    convention cancels out).
+
+    Scale shape: a GLOBAL prefix sum would be a single-partition
+    window, so the sweep runs two-phase exactly like the
+    exact_global_* ranking cores — running sum WITHIN each calendar
+    day (partitioned window, parallel) plus per-day carry-in offsets
+    (one tiny driver collect, bounded by the number of days, the same
+    split-point-probe budget api._approx_splits uses). Sessions are
+    15 minutes, but correctness does not depend on intervals staying
+    inside a day: boundary POINTS are partitioned, not intervals, and
+    the carry-in restores the global sum."""
+    e = tbl(spark, sf_dir, "events")
+    pts = e.select(F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        e.select(
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    blk = F.to_date("t").alias("blk")
+    w_in = Window.partitionBy("blk").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = pts.select("t", "d", blk).withColumn(
+        "conc_in", F.sum("d").over(w_in)
+    )
+    # per-day net deltas -> carry-in offset for each day (tiny collect:
+    # one row per calendar day)
+    day_tot = sorted(
+        (r["blk"], r["tot"])
+        for r in pts.select(blk, "d")
+        .groupBy("blk")
+        .agg(F.sum("d").alias("tot"))
+        .collect()
+    )
+    offsets, running = {}, 0
+    for day, tot in day_tot:
+        offsets[day] = running
+        running += tot
+    if offsets:
+        pairs = []
+        for day, off in offsets.items():
+            pairs.extend([F.lit(day), F.lit(off)])
+        off_col = F.create_map(*pairs)[F.col("blk")]
+    else:
+        off_col = F.lit(0)
+    return (
+        within.withColumn("conc", F.col("conc_in") + off_col)
+        .groupBy(F.date_format("t", "yyyy-MM-dd HH:00").alias("hour"))
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .orderBy("hour")
+    )
+
+
+@register(
+    "llm_multimodal_framesample",
+    """
+    SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+           unicode(substr(text, CAST(idx * 16 + 1 AS BIGINT), 1))
+               AS first_byte,
+           'stub-v1' AS codec
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0,
+                   least(CAST(ceil(length(text) / 16.0) AS BIGINT), 32),
+                   4)) AS idx
+        FROM documents
+    )
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: treat an opaque binary payload
+    (here: utf-8 bytes of the text standing in for container bytes;
+    fixture text is pure ASCII, so byte offsets equal char offsets and
+    the oracle can address the same bytes with substr) as a sequence
+    of 16-byte frames, sample every 4th frame up to 8 frames per doc,
+    and emit one row per sampled frame with a byte-level feature. The
+    real codec is STUBBED — no video libraries in this container —
+    behind an import gate exactly like llm_multimodal_decode; the
+    production shape (binary column in, mapInPandas Arrow batches,
+    per-frame explode out, frame-index arithmetic) is real and
+    oracle-checked. At 100 TB the payload column stays opaque bytes in
+    parquet and this op is map-only — no shuffle until a downstream
+    aggregate."""
+    import pandas as pd
+
+    frame, step, cap = 16, 4, 32  # 16-byte frames, every 4th, idx < 32
+
+    def sample(batches):
+        for pdf in batches:
+            try:
+                import av  # noqa: F401 — the real demuxer's import gate
+
+                raise NotImplementedError(
+                    "real frame demux not wired: container has no codecs"
+                )
+            except ImportError:
+                rows = {"doc_id": [], "frame_idx": [], "first_byte": []}
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    n_frames = (len(payload) + frame - 1) // frame
+                    for idx in range(0, min(n_frames, cap), step):
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(idx)
+                        rows["first_byte"].append(payload[idx * frame])
+                out = pd.DataFrame(rows)
+                out["codec"] = "stub-v1"
+                yield out
+
+    d = tbl(spark, sf_dir, "documents")
+    packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return packed.mapInPandas(
+        sample,
+        "doc_id bigint, frame_idx int, first_byte int, codec string",
+    ).orderBy("doc_id", "frame_idx")
