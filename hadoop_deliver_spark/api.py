@@ -60,6 +60,7 @@ __all__ = [
     "containment_pairs",
     "simhash_pairs",
     "triangle_count",
+    "concurrency_sweep",
 ]
 
 
@@ -781,6 +782,91 @@ def containment_pairs(
             )
         )
         .select("inner_id", "outer_id", "containment")
+    )
+
+
+def concurrency_sweep(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    partition_cols: Sequence[str] = (),
+    out: str = "concurrency",
+) -> DataFrame:
+    """Sweep-line interval concurrency: one row per DISTINCT boundary
+    instant (columns: partition_cols, t, ``out``) where ``out`` is the
+    number of intervals [start, end) covering the instant just after
+    t. Coincident boundaries collapse into one net delta per instant
+    BEFORE the prefix sum, so half-open semantics hold exactly (an
+    end plus a coincident start cancel; a zero-length interval is a
+    net no-op) and no transient tie-order value ever surfaces. Peak
+    load per bucket is then one groupBy away::
+
+        concurrency_sweep(sess, "login", "logout", ["server"])
+          .groupBy("server", F.date_trunc("hour", "t"))
+          .agg(F.max("concurrency"))
+
+    Scale shape: a naive global prefix sum is a single-partition
+    window. This runs TWO-PHASE — running sum within each (partition,
+    calendar-day-of-boundary) block, a partitioned window — plus the
+    carry-in of all earlier blocks. With ``partition_cols`` the
+    carry-in is itself a partitioned window over per-block totals
+    (nothing driver-side); without keys the per-day totals are a tiny
+    driver collect (one row per day — the same split-point-probe
+    budget the exact_global ranking cores use) so that no stage ever
+    serializes on one task. Correctness does not require intervals to
+    stay inside a day: boundary POINTS are blocked, not intervals,
+    and the carry-in restores the global sum.
+    """
+    keys = list(partition_cols)
+    raw = df.select(
+        *keys, F.col(start_col).alias("t"), F.lit(1).alias("_cs_d")
+    ).unionAll(
+        df.select(*keys, F.col(end_col).alias("t"), F.lit(-1).alias("_cs_d"))
+    )
+    # collapse coincident boundaries: one net delta per distinct instant
+    # (map-side-combined — this is also what keeps the windowed row
+    # count at |distinct instants|, not 2·|intervals|)
+    pts = raw.groupBy(*keys, "t").agg(F.sum("_cs_d").alias("_cs_d"))
+    blk = F.to_date("t").alias("_cs_blk")
+    w_in = Window.partitionBy(*keys, "_cs_blk").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = pts.select(*keys, "t", "_cs_d", blk).withColumn(
+        "_cs_in", F.sum("_cs_d").over(w_in)
+    )
+    totals = (
+        pts.select(*keys, blk, "_cs_d")
+        .groupBy(*keys, "_cs_blk")
+        .agg(F.sum("_cs_d").alias("_cs_tot"))
+    )
+    if keys:
+        w_blk = Window.partitionBy(*keys).orderBy("_cs_blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = totals.withColumn(
+            "_cs_off", F.coalesce(F.sum("_cs_tot").over(w_blk), F.lit(0))
+        ).select(*keys, "_cs_blk", "_cs_off")
+        swept = within.join(offs, [*keys, "_cs_blk"])
+    else:
+        day_tot = sorted(
+            (r["_cs_blk"], r["_cs_tot"]) for r in totals.collect()
+        )
+        offsets, running = {}, 0
+        for day, tot in day_tot:
+            offsets[day] = running
+            running += tot
+        if offsets:
+            pairs = []
+            for day, off in offsets.items():
+                pairs.extend([F.lit(day), F.lit(off)])
+            off_col = F.create_map(*pairs)[F.col("_cs_blk")]
+        else:
+            off_col = F.lit(0)
+        swept = within.withColumn("_cs_off", off_col)
+    return swept.select(
+        *keys,
+        "t",
+        (F.col("_cs_in") + F.col("_cs_off")).cast("long").alias(out),
     )
 
 

@@ -59,43 +59,21 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     split-point-probe budget api._approx_splits uses). Sessions are
     15 minutes, but correctness does not depend on intervals staying
     inside a day: boundary POINTS are partitioned, not intervals, and
-    the carry-in restores the global sum."""
+    the carry-in restores the global sum.
+
+    Core: api.concurrency_sweep (column-parameterized; with
+    partition_cols the carry-in is a partitioned window — no driver
+    collect at all — and it is fuzzed against a brute-force overlap
+    count in tests/test_hypothesis.py)."""
+    from hadoop_deliver_spark.api import concurrency_sweep
+
     e = tbl(spark, sf_dir, "events")
-    pts = e.select(F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
-        e.select(
-            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t"),
-            F.lit(-1).alias("d"),
-        )
+    iv = e.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
     )
-    blk = F.to_date("t").alias("blk")
-    w_in = Window.partitionBy("blk").orderBy("t", "d").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    within = pts.select("t", "d", blk).withColumn(
-        "conc_in", F.sum("d").over(w_in)
-    )
-    # per-day net deltas -> carry-in offset for each day (tiny collect:
-    # one row per calendar day)
-    day_tot = sorted(
-        (r["blk"], r["tot"])
-        for r in pts.select(blk, "d")
-        .groupBy("blk")
-        .agg(F.sum("d").alias("tot"))
-        .collect()
-    )
-    offsets, running = {}, 0
-    for day, tot in day_tot:
-        offsets[day] = running
-        running += tot
-    if offsets:
-        pairs = []
-        for day, off in offsets.items():
-            pairs.extend([F.lit(day), F.lit(off)])
-        off_col = F.create_map(*pairs)[F.col("blk")]
-    else:
-        off_col = F.lit(0)
     return (
-        within.withColumn("conc", F.col("conc_in") + off_col)
+        concurrency_sweep(iv, "s", "e", out="conc")
         .groupBy(F.date_format("t", "yyyy-MM-dd HH:00").alias("hour"))
         .agg(F.max("conc").cast("long").alias("peak_concurrency"))
         .orderBy("hour")

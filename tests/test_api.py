@@ -333,3 +333,28 @@ def test_simhash_pairs_identical_docs_distance_zero(spark):
     # identical docs share every band and have hamming 0; the unrelated
     # doc must not pair at distance <= 3
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_concurrency_sweep_keyed_no_collect(spark):
+    from datetime import datetime
+
+    rows = [
+        ("srv1", datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 2)),
+        ("srv1", datetime(2024, 1, 1, 1), datetime(2024, 1, 1, 3)),
+        ("srv1", datetime(2024, 1, 1, 2), datetime(2024, 1, 1, 4)),  # starts at an end
+        ("srv2", datetime(2024, 1, 1, 0), datetime(2024, 1, 2, 1)),  # crosses midnight
+    ]
+    df = spark.createDataFrame(rows, "host string, s timestamp, e timestamp")
+    got = {
+        (r.host, r.t.day, r.t.hour): r.n
+        for r in api.concurrency_sweep(df, "s", "e", ["host"], out="n").collect()
+    }
+    assert got == {
+        ("srv1", 1, 0): 1,
+        ("srv1", 1, 1): 2,
+        ("srv1", 1, 2): 2,  # end+start at 02:00 cancel (half-open)
+        ("srv1", 1, 3): 1,
+        ("srv1", 1, 4): 0,
+        ("srv2", 1, 0): 1,
+        ("srv2", 2, 1): 0,  # day-block carry-in bridged the midnight
+    }

@@ -639,3 +639,52 @@ def test_jaccard_pairs_equals_bruteforce_on_random_texts(
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_iv=st.integers(min_value=1, max_value=40),
+    keyed=st.booleans(),
+)
+def test_concurrency_sweep_equals_bruteforce(spark, seed, n_iv, keyed):
+    """api.concurrency_sweep (two-phase prefix sum, with and without
+    partition keys) must equal a brute-force half-open overlap count
+    at every boundary point — including intervals spanning the
+    day-block boundary the two-phase carry-in must bridge, coincident
+    start/end ties, and zero-length intervals."""
+    import random
+    from datetime import datetime, timedelta
+
+    from hadoop_deliver_spark import api
+
+    rng = random.Random(seed)
+    base = datetime(2024, 3, 1)
+    rows = []
+    for i in range(n_iv):
+        key = rng.choice(["a", "b"]) if keyed else "x"
+        # minutes across a 3-day span -> many intervals cross midnight
+        s = rng.randint(0, 3 * 1440)
+        dur = rng.choice([0, 5, 30, 600, 1500])
+        rows.append(
+            (key, base + timedelta(minutes=s), base + timedelta(minutes=s + dur))
+        )
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    got = {
+        ((r.k,) if keyed else ()) + (r.t,): r.conc
+        for r in api.concurrency_sweep(
+            df, "s", "e", ["k"] if keyed else (), out="conc"
+        ).collect()
+    }
+    # brute force: at each boundary t (per key), count intervals with
+    # s <= t < e, PLUS starts at exactly t (half-open: ends first) —
+    # i.e. the sweep value just after processing all boundaries at t
+    for key, s0, e0 in rows:
+        for t in (s0, e0):
+            kk = (key, t) if keyed else (t,)
+            want = sum(
+                1
+                for k2, s2, e2 in rows
+                if (not keyed or k2 == key) and s2 <= t and t < e2
+            )
+            assert got[kk] == want, (key, t, got[kk], want)
