@@ -6,12 +6,14 @@ frame sampling.
   licensing, connection-pool sizing) that no point-in-time groupBy
   can express: concurrency is a PREFIX SUM over interval boundary
   events, not a property of any single row.
-- llm_multimodal_framesample: every-kth-frame sampling over an opaque
-  video-bytes column — completes the multimodal plumbing family
-  (decode / feature-extract / pack / frame-sample); the real codec is
-  stubbed (no video libs in this container) behind deterministic
-  byte-level frame features, with the Spark-side schema, Arrow
-  batching, and per-frame explode real and oracle-checked.
+- llm_multimodal_framesample / llm_multimodal_resize: every-kth-frame
+  sampling over an opaque video-bytes column and factor-2 byte
+  downsampling of an image-bytes column — completing the multimodal
+  plumbing family (decode / feature-extract / resize / frame-sample /
+  pack); the real codecs are stubbed (no image/video libs in this
+  container) behind deterministic byte-level features, with the
+  Spark-side schema, Arrow batching, per-frame explode, and stride
+  arithmetic real and oracle-checked.
 """
 
 from __future__ import annotations
@@ -142,3 +144,66 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         "doc_id bigint, frame_idx int, first_byte int, codec string",
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "llm_multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS orig_bytes,
+           CAST(ceil(length(text) / 2.0) AS INT) AS resized_bytes,
+           unicode(substr(text, 1, 1)) AS resized_first_byte,
+           CAST(list_aggregate(
+               list_transform(range(1, length(text) + 1, 2),
+                   i -> unicode(substr(text, CAST(i AS BIGINT), 1))),
+               'sum') % 2147483647 AS BIGINT) AS resized_checksum
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: opaque image-bytes column in, resized
+    payload out — here a deterministic factor-2 byte downsample
+    (every 2nd byte) standing in for PIL.Image.resize, which is
+    import-gated exactly like the decode stub (no image libraries in
+    this container). Emits the resized payload's length, first byte,
+    and mod-2³¹−1 checksum so the oracle can verify the stride
+    arithmetic byte-for-byte (fixture text is pure ASCII, so the SQL
+    side addresses the same bytes via substr). Completes the
+    decode / feature-extract / resize / frame-sample multimodal
+    plumbing family; map-only at any scale."""
+    import pandas as pd
+
+    def resize(batches):
+        for pdf in batches:
+            try:
+                import PIL  # noqa: F401 — the real resizer's import gate
+
+                raise NotImplementedError(
+                    "real image resize not wired: container has no codecs"
+                )
+            except ImportError:
+                out = {
+                    "doc_id": [], "orig_bytes": [], "resized_bytes": [],
+                    "resized_first_byte": [], "resized_checksum": [],
+                }
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    small = payload[::2]
+                    out["doc_id"].append(doc_id)
+                    out["orig_bytes"].append(len(payload))
+                    out["resized_bytes"].append(len(small))
+                    out["resized_first_byte"].append(
+                        small[0] if small else None
+                    )
+                    out["resized_checksum"].append(
+                        sum(small) % 2147483647
+                    )
+                yield pd.DataFrame(out)
+
+    d = tbl(spark, sf_dir, "documents")
+    packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return packed.mapInPandas(
+        resize,
+        "doc_id bigint, orig_bytes int, resized_bytes int, "
+        "resized_first_byte int, resized_checksum bigint",
+    ).orderBy("doc_id")

@@ -758,6 +758,9 @@ _COLLECT_OK = {
     ("api.py", "exact_global_ntile"),
     ("api.py", "exact_global_cumsum_desc"),
     ("api.py", "exact_global_rank"),
+    # unkeyed path only: one row per calendar day of boundary points
+    # (keyed path uses a partitioned window, no collect)
+    ("api.py", "concurrency_sweep"),
     # 1-row scalar aggregates (grand totals, maxima, anchors, averages)
     ("analytics3.py", "orders_pareto_abc"),
     ("classics.py", "supplier_top_revenue"),
