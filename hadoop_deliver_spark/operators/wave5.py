@@ -1,8 +1,9 @@
 """§2 extensions, round-5 wave — interval analytics + multimodal
 frame sampling.
 
-- events_peak_concurrency: sweep-line peak concurrent sessions per
-  hour — the classic interval-overlap aggregate (capacity planning,
+- events_peak_concurrency / events_active_coverage: sweep-line peak
+  concurrency per hour and per-user union-of-intervals active time —
+  the classic interval-overlap aggregates (capacity planning,
   licensing, connection-pool sizing) that no point-in-time groupBy
   can express: concurrency is a PREFIX SUM over interval boundary
   events, not a property of any single row.
@@ -207,3 +208,90 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, orig_bytes int, resized_bytes int, "
         "resized_first_byte int, resized_checksum bigint",
     ).orderBy("doc_id")
+
+
+@register(
+    "events_active_coverage",
+    """
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+               CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, t, sum(d) AS net FROM (
+            SELECT user_id, s AS t, 1 AS d FROM iv
+            UNION ALL
+            SELECT user_id, e AS t, -1 AS d FROM iv
+        ) GROUP BY user_id, t
+    ),
+    swept AS (
+        SELECT user_id, t,
+               sum(net) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS conc,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+        FROM pts
+    ),
+    flagged AS (
+        SELECT user_id, t, conc, nt,
+               coalesce(lag(conc) OVER (PARTITION BY user_id ORDER BY t),
+                        0) AS prev_conc
+        FROM swept
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN conc > 0
+                         THEN epoch_us(nt) - epoch_us(t) ELSE 0 END)
+                AS BIGINT) AS covered_us,
+           CAST(sum(CASE WHEN conc > 0 AND prev_conc = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "interval"),
+)
+def events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ACTIVE time as the measure of the UNION of that user's
+    15-minute session intervals — overlapping sessions are counted
+    once (the utilization/SLA-uptime number a naive
+    sum(duration) overstates) — plus the count of maximal active
+    spans. Built on api.concurrency_sweep (keyed, so the day-block
+    carry-in is a partitioned window and nothing touches the driver):
+    between consecutive boundary instants the concurrency is
+    constant, so covered time = Σ (next_t − t) over segments with
+    concurrency > 0, and a span starts exactly where concurrency
+    steps off zero. Exact integer microseconds end to end — no float
+    rounding surface."""
+    from hadoop_deliver_spark.api import concurrency_sweep
+
+    e = tbl(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    swept = concurrency_sweep(iv, "s", "e", ["user_id"], out="conc")
+    w = Window.partitionBy("user_id").orderBy("t")
+    seg = (
+        swept.withColumn("nt", F.lead("t").over(w))
+        .withColumn("prev_conc", F.coalesce(F.lag("conc").over(w), F.lit(0)))
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("conc") > 0,
+                    F.unix_micros("nt") - F.unix_micros("t"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered_us"),
+            F.sum(
+                F.when(
+                    (F.col("conc") > 0) & (F.col("prev_conc") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .orderBy("user_id")
+    )
