@@ -295,3 +295,99 @@ def events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH probes AS (
+        SELECT DISTINCT user_id,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS probe_ts
+        FROM events
+    ), ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    b AS (
+        SELECT p.user_id, p.probe_ts, e.value AS bv, e.ts AS bts
+        FROM probes p
+        ASOF LEFT JOIN ev e
+          ON e.user_id = p.user_id AND e.ts <= p.probe_ts
+    ),
+    f AS (
+        SELECT p.user_id, p.probe_ts, e.value AS fv, e.ts AS fts
+        FROM probes p
+        ASOF LEFT JOIN ev e
+          ON e.user_id = p.user_id AND e.ts >= p.probe_ts
+    )
+    SELECT b.user_id, b.probe_ts,
+           CASE WHEN b.bts IS NULL THEN f.fv
+                WHEN f.fts IS NULL THEN b.bv
+                WHEN epoch_us(b.probe_ts) - epoch_us(b.bts)
+                     <= epoch_us(f.fts) - epoch_us(b.probe_ts) THEN b.bv
+                ELSE f.fv END AS nearest_value,
+           CASE WHEN b.bts IS NULL THEN 'forward'
+                WHEN f.fts IS NULL THEN 'backward'
+                WHEN epoch_us(b.probe_ts) - epoch_us(b.bts)
+                     <= epoch_us(f.fts) - epoch_us(b.probe_ts)
+                    THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM b JOIN f ON f.user_id = b.user_id AND f.probe_ts = b.probe_ts
+    WHERE b.bts IS NOT NULL OR f.fts IS NOT NULL
+    ORDER BY b.user_id, b.probe_ts
+    """,
+    tags=("join",),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third standard direction (pandas
+    merge_asof direction='nearest'): for each probe, the event value
+    whose timestamp is closest in EITHER direction, ties broken
+    toward the at-or-before side. Composed from two passes of the
+    union+window core (api.asof_join) with the event ts PACKED into a
+    struct alongside the value, so each pass carries its matched
+    timestamp out and the distance compare is exact integer
+    microseconds. Probes missing one side (e.g. nothing at-or-before
+    the user's first day) take the other; the oracle is two DuckDB
+    native ASOF LEFT JOINs — an independent implementation — with the
+    identical tie rule. Two shuffles total, O(1) window state per
+    key, no row explosion."""
+    from hadoop_deliver_spark.api import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    # one value per (user, ts) so both engines break ts ties identically
+    e = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    packed = e.select(
+        "user_id", "ts", F.struct(F.col("ts").alias("ets"), "value").alias("pv")
+    )
+    probes = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("ts")
+    ).distinct()
+    back = asof_join(
+        packed, probes, ["user_id"], "ts", "pv", forward=False, out="bp"
+    ).select("user_id", F.col("ts").alias("probe_ts"), "bp")
+    fwd = asof_join(
+        packed, probes, ["user_id"], "ts", "pv", forward=True, out="fp"
+    ).select("user_id", F.col("ts").alias("probe_ts"), "fp")
+    j = back.join(fwd, ["user_id", "probe_ts"], "full_outer")
+    bdist = F.unix_micros("probe_ts") - F.unix_micros("bp.ets")
+    fdist = F.unix_micros("fp.ets") - F.unix_micros("probe_ts")
+    take_back = F.col("fp").isNull() | (
+        F.col("bp").isNotNull() & (bdist <= fdist)
+    )
+    return (
+        j.filter(F.col("bp").isNotNull() | F.col("fp").isNotNull())
+        .select(
+            "user_id",
+            "probe_ts",
+            F.when(take_back, F.col("bp.value"))
+            .otherwise(F.col("fp.value"))
+            .alias("nearest_value"),
+            F.when(take_back, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+        .orderBy("user_id", "probe_ts")
+    )
