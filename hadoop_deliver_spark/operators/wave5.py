@@ -391,3 +391,84 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "probe_ts")
     )
+
+
+@register(
+    "llm_dedup_paragraphs",
+    """
+    WITH chunks AS (
+        SELECT doc_id, array_to_string(
+                   list_slice(string_split(text, ' '),
+                              i * 10 + 1, i * 10 + 10), ' ') AS chunk
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(
+                       len(string_split(text, ' ')) / 10.0) AS BIGINT)))
+                       AS i
+            FROM documents
+        )
+    ),
+    freq AS (
+        SELECT chunk, count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST((count(*) - sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END))
+                * 10000 // count(*) AS BIGINT) AS retained_bp
+    FROM chunks c JOIN freq f ON f.chunk = c.chunk
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level CROSS-document dedup — the C4/CCNet line-dedup
+    analog for a corpus without newlines: each document splits into
+    consecutive 10-token chunks (trailing partial chunk kept — both
+    engines clamp the slice identically), a chunk is duplicated iff
+    it appears in ≥2 DISTINCT documents, and each doc reports its
+    chunk counts plus the retained fraction in integer basis points
+    (integer division on both engines — no float surface). This is
+    the op that removes boilerplate shared ACROSS pages where
+    document-level near-dup (jaccard/minhash) keeps both copies.
+    Shape: one map-side chunk explode, one chunk-keyed count-distinct
+    (map-side combined), one chunk-keyed join back — at 100 TB the
+    chunk key is an ordinary shuffle key; cap chunk document-frequency
+    accounting at a threshold (here exact, fixture-scale) the same way
+    gram DF caps bound the near-dup joins."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks_arr = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks_arr - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "retained_bp",
+            F.expr(
+                "CAST((n_chunks - n_dup_chunks) * 10000 DIV n_chunks"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("doc_id")
+    )
