@@ -61,6 +61,7 @@ __all__ = [
     "simhash_pairs",
     "triangle_count",
     "concurrency_sweep",
+    "dedup_chunks",
 ]
 
 
@@ -924,6 +925,76 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> int:
         .first()[0]
     )
     return int(tri or 0)
+
+
+def dedup_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Chunk-level CROSS-document dedup with rewrite — the C4/CCNet
+    line-dedup analog: split each document into consecutive
+    ``chunk_tokens``-token chunks, call a chunk duplicated when it
+    appears in ≥ ``min_docs`` DISTINCT documents, and return
+    (id_col, ``out``, n_chunks, n_dup_chunks) where ``out`` is the
+    document rebuilt from only its retained chunks (original chunk
+    order; empty string when everything was boilerplate). This
+    removes boilerplate shared ACROSS pages that document-level
+    near-dup (jaccard/minhash) keeps twice.
+
+    Shape: map-side chunk explode with position → chunk-keyed
+    count-distinct (map-side combined) → join back → per-doc ordered
+    reassembly (collect_list of (pos, chunk) + array_sort, bounded by
+    tokens-per-doc). The chunk key is an ordinary shuffle key at any
+    scale; cap chunk document frequency for web-scale skew the same
+    way gram-DF caps bound the near-dup joins.
+
+    >>> dedup_chunks(docs, "pk", "body", chunk_tokens=20)
+    """
+    toks = F.split(text_col, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("_dc_i", "_dc_chunk"),
+    )
+    freq = chunks.groupBy("_dc_chunk").agg(
+        F.count_distinct(id_col).alias("_dc_nd")
+    )
+    joined = chunks.join(freq, "_dc_chunk")
+    keep = F.col("_dc_nd") < min_docs
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(~keep, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(keep, F.struct("_dc_i", "_dc_chunk"))
+                )
+            ).alias("_dc_kept"),
+        )
+        .withColumn(
+            out,
+            F.array_join(
+                F.transform(F.col("_dc_kept"), lambda s: s["_dc_chunk"]),
+                " ",
+            ),
+        )
+        .select(id_col, out, "n_chunks", "n_dup_chunks")
+    )
 
 
 def simhash_pairs(

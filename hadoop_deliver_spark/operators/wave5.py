@@ -472,3 +472,51 @@ def llm_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_dedup_paragraphs_scrub",
+    """
+    WITH chunks AS (
+        SELECT doc_id, i, array_to_string(
+                   list_slice(string_split(text, ' '),
+                              i * 10 + 1, i * 10 + 10), ' ') AS chunk
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(
+                       len(string_split(text, ' ')) / 10.0) AS BIGINT)))
+                       AS i
+            FROM documents
+        )
+    ),
+    freq AS (
+        SELECT chunk, count(DISTINCT doc_id) AS nd
+        FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           coalesce(string_agg(CASE WHEN f.nd < 2 THEN c.chunk END,
+                               ' ' ORDER BY c.i), '') AS clean_text,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks
+    FROM chunks c JOIN freq f ON f.chunk = c.chunk
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_paragraphs_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable companion of llm_dedup_paragraphs: REWRITE each
+    document with its cross-document duplicated chunks removed
+    (retained chunks reassembled in original order; empty string when
+    everything was boilerplate). The oracle rebuilds the same text
+    with an ordered string_agg — byte-identical reassembly proves the
+    position bookkeeping, not just the counts.
+
+    Core: api.dedup_chunks (column-parameterized)."""
+    from hadoop_deliver_spark.api import dedup_chunks
+
+    d = tbl(spark, sf_dir, "documents")
+    return dedup_chunks(
+        d.select("doc_id", "text"), "doc_id", "text",
+        chunk_tokens=10, min_docs=2,
+    ).orderBy("doc_id")

@@ -358,3 +358,26 @@ def test_concurrency_sweep_keyed_no_collect(spark):
         ("srv2", 1, 0): 1,
         ("srv2", 2, 1): 0,  # day-block carry-in bridged the midnight
     }
+
+
+def test_dedup_chunks_rewrites_in_order(spark):
+    # chunk_tokens=2: doc 1 and 2 share the chunk "x y"; doc 3 unique
+    df = spark.createDataFrame(
+        [
+            (1, "a b x y c d"),
+            (2, "x y e f"),
+            (3, "g h i j"),
+        ],
+        "pk long, body string",
+    )
+    got = {
+        r.pk: (r.clean, r.n_chunks, r.n_dup_chunks)
+        for r in api.dedup_chunks(
+            df, "pk", "body", chunk_tokens=2, out="clean"
+        ).collect()
+    }
+    assert got == {
+        1: ("a b c d", 3, 1),   # "x y" removed, order kept
+        2: ("e f", 2, 1),
+        3: ("g h i j", 2, 0),
+    }
