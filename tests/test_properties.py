@@ -202,6 +202,9 @@ _NESTED_LOOP_OK = {
     # literal-array version was a driver-collect scale bug (see the
     # operator docstring), the broadcast NLJ is the honest shape
     "llm_knn_classify",
+    # 1-row corpus-max bounds broadcast for censoring (the
+    # ts_resample_gapfill pattern)
+    "events_survival_km",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -222,6 +225,16 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # rows for the 7-year fixture span at ANY data scale), never the
     # fact table — the fact side is reduced by keyed shuffles first
     "orders_open_backlog",
+    # same bounded-axis argument: every KM window runs over the
+    # per-lifetime-DAY aggregate (cardinality = days of history at any
+    # corpus scale); the fact table is reduced by one keyed shuffle
+    # first. The SinglePartition also covers the 1-row corpus-max
+    # bounds aggregate.
+    "events_survival_km",
+    # the SinglePartition is the 1-ROW final regression aggregate
+    # (regr_slope over the vocabulary); the rank window itself
+    # partitions by block (api.exact_global_rank)
+    "llm_zipf_fit",
 }
 
 _plan_cache: dict[str, str] = {}
