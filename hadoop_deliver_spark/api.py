@@ -1617,3 +1617,166 @@ def write_avro(
             yield pd.DataFrame({"path": [p], "n": [len(rows)]})
 
     return df.mapInPandas(write_part, "path STRING, n BIGINT")
+
+
+# --------------------------------------------------------------------------
+# corpus / lifetime statistics cores
+# --------------------------------------------------------------------------
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021
+    §A1.1) over YOUR table: returns (id_col, n_words, total_chars,
+    alpha_words, stop_hits, r_word_count, r_mean_word_len,
+    r_alpha_ratio, r_stopwords, keep). Every rule is INTEGER column
+    algebra (mean word length in [3,10] is stated as 3·n ≤ Σlen ≤
+    10·n — no float division), so the filter is map-only,
+    embarrassingly parallel, and bit-exact across engines.
+
+    >>> kept = gopher_quality(docs, "pk", "body").where("keep")
+    """
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    ws = F.filter(F.split(text_col, " "), lambda w: w != "")
+    m = df.select(
+        id_col,
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+        F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(ws), F.array(*[F.lit(s) for s in stops])
+            )
+        )
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    n, tc, aw, sh = (
+        F.col("n_words"),
+        F.col("total_chars"),
+        F.col("alpha_words"),
+        F.col("stop_hits"),
+    )
+    r_wc = n.between(50, 100000)
+    r_mwl = (3 * n <= tc) & (tc <= 10 * n)
+    r_alpha = 5 * aw >= 4 * n
+    r_stop = sh >= 2
+    return m.select(
+        id_col,
+        "n_words",
+        "total_chars",
+        "alpha_words",
+        "stop_hits",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("keep"),
+    )
+
+
+def survival_km(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve from per-subject observations:
+    ``duration_col`` (integer time-to-event-or-censoring) and
+    ``event_col`` (true = the event happened, false = right-censored
+    at that time). Returns one row per duration WITH events:
+    (duration_col, at_risk, deaths, survival) where survival is the
+    KM product Π_{t'≤t} (1 − d/n) rounded to 4 decimals.
+
+    Scale shape: the subject table reduces to a per-duration
+    aggregate in one keyed shuffle; every cumulative window runs over
+    that aggregate, whose cardinality is bounded by the TIME AXIS
+    (days of history), never the subject count. The d = n extinction
+    step is CASE-guarded (no ln(0)); survival after extinction is
+    exactly 0.
+
+    >>> survival_km(lives, "t_obs", "died")
+    """
+    lt = df.groupBy(duration_col).agg(
+        F.count(F.lit(1)).alias("_km_n"),
+        F.count_if(F.col(event_col)).alias("deaths"),
+    )
+    w_risk = Window.orderBy(F.col(duration_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = lt.select(
+        duration_col,
+        "deaths",
+        F.sum("_km_n").over(w_risk).alias("at_risk"),
+    ).where(F.col("deaths") > 0)
+    w_cum = Window.orderBy(duration_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ln_term = F.when(
+        F.col("at_risk") > F.col("deaths"),
+        F.log(1.0 - F.col("deaths").cast("double") / F.col("at_risk")),
+    ).otherwise(F.lit(0.0))
+    zero_flag = F.when(F.col("deaths") == F.col("at_risk"), 1).otherwise(0)
+    km = risk.select(
+        duration_col,
+        F.col("at_risk").cast("long").alias("at_risk"),
+        "deaths",
+        F.sum(ln_term).over(w_cum).alias("_km_logsum"),
+        F.max(zero_flag).over(w_cum).alias("_km_zero"),
+    )
+    return km.select(
+        duration_col,
+        "at_risk",
+        "deaths",
+        F.when(F.col("_km_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("_km_logsum"), 4))
+        .alias("survival"),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    *,
+    window_days: int = 30,
+    out: str = "ewma",
+) -> DataFrame:
+    """α = 1/2 exponentially-weighted moving average of a daily
+    series over a trailing ``window_days`` window, normalized by the
+    in-window weight mass (series heads are unbiased). Returns
+    (key_cols, time_col, value_col, ``out``) with ``out`` rounded to
+    4 decimals. ``time_col`` must be a DATE column; one output row
+    per input row.
+
+    All weights are exact powers of two and integer values make every
+    product exact, so the smoother is bit-exact across engines before
+    the display rounding. Shape: an EQUI-join on the keys with a
+    day-range residual over the (already aggregated) series — a hash
+    join, not a window and not a nested loop, so it partitions freely
+    at any scale.
+
+    >>> ewma_smooth(daily, ["event_type"], "day", "cnt")
+    """
+    keys = list(key_cols)
+    a = df.alias("_ew_a")
+    b = df.alias("_ew_b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"_ew_a.{k}") == F.col(f"_ew_b.{k}"))
+    diff = F.datediff(F.col(f"_ew_a.{time_col}"), F.col(f"_ew_b.{time_col}"))
+    wgt = F.pow(F.lit(0.5), diff)
+    return (
+        a.join(b, cond & diff.between(0, window_days - 1))
+        .groupBy(
+            *[F.col(f"_ew_a.{k}").alias(k) for k in keys],
+            F.col(f"_ew_a.{time_col}").alias(time_col),
+            F.col(f"_ew_a.{value_col}").alias(value_col),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col(f"_ew_b.{value_col}") * wgt) / F.sum(wgt), 4
+            ).alias(out)
+        )
+    )

@@ -92,47 +92,7 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     own boolean column (audit-friendly — the paper's ablation needs
     per-rule attrition) plus the final `keep` conjunction."""
     d = tbl(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    m = d.select(
-        "doc_id",
-        F.size(ws).cast("long").alias("n_words"),
-        F.aggregate(
-            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        ).alias("total_chars"),
-        F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
-        .cast("long")
-        .alias("alpha_words"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(ws),
-                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
-            )
-        )
-        .cast("long")
-        .alias("stop_hits"),
-    )
-    n, tc, aw, sh = (
-        F.col("n_words"),
-        F.col("total_chars"),
-        F.col("alpha_words"),
-        F.col("stop_hits"),
-    )
-    r_wc = n.between(50, 100000)
-    r_mwl = (3 * n <= tc) & (tc <= 10 * n)
-    r_alpha = 5 * aw >= 4 * n
-    r_stop = sh >= 2
-    return m.select(
-        "doc_id",
-        "n_words",
-        "total_chars",
-        "alpha_words",
-        "stop_hits",
-        r_wc.alias("r_word_count"),
-        r_mwl.alias("r_mean_word_len"),
-        r_alpha.alias("r_alpha_ratio"),
-        r_stop.alias("r_stopwords"),
-        (r_wc & r_mwl & r_alpha & r_stop).alias("keep"),
-    ).orderBy("doc_id")
+    return api.gopher_quality(d, "doc_id", "text").orderBy("doc_id")
 
 
 @register(
@@ -389,42 +349,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             died.alias("died"),
         )
     )
-    lt = lives.groupBy("t_obs").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count_if(F.col("died")).alias("deaths"),
-    )
-    w_risk = (
-        Window.orderBy(F.col("t_obs").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    risk = lt.select(
-        "t_obs",
-        "deaths",
-        F.sum("n_total").over(w_risk).alias("at_risk"),
-    ).where(F.col("deaths") > 0)
-    w_cum = Window.orderBy("t_obs").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ln_term = F.when(
-        F.col("at_risk") > F.col("deaths"),
-        F.log(1.0 - F.col("deaths").cast("double") / F.col("at_risk")),
-    ).otherwise(F.lit(0.0))
-    zero_flag = F.when(F.col("deaths") == F.col("at_risk"), 1).otherwise(0)
-    km = risk.select(
-        "t_obs",
-        F.col("at_risk").cast("long").alias("at_risk"),
-        "deaths",
-        F.sum(ln_term).over(w_cum).alias("logsum"),
-        F.max(zero_flag).over(w_cum).alias("hit_zero"),
-    )
-    return km.select(
-        "t_obs",
-        "at_risk",
-        "deaths",
-        F.when(F.col("hit_zero") == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp("logsum"), 4))
-        .alias("survival"),
-    ).orderBy("t_obs")
+    return api.survival_km(lives, "t_obs", "died").orderBy("t_obs")
 
 
 @register(
@@ -464,28 +389,13 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    a = daily.alias("a")
-    b = daily.alias("b")
-    diff = F.datediff(F.col("a.day"), F.col("b.day"))
-    joined = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & diff.between(0, 29),
-    )
-    wgt = F.pow(F.lit(0.5), F.datediff(F.col("a.day"), F.col("b.day")))
-    return (
-        joined.groupBy(
-            F.col("a.event_type").alias("event_type"),
-            F.date_format(F.col("a.day"), "yyyy-MM-dd").alias("day"),
-            F.col("a.cnt").alias("cnt"),
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("b.cnt") * wgt) / F.sum(wgt), 4
-            ).alias("ewma")
-        )
-        .orderBy("event_type", "day")
-    )
+    sm = api.ewma_smooth(daily, ["event_type"], "day", "cnt")
+    return sm.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "ewma",
+    ).orderBy("event_type", "day")
 
 
 @register(

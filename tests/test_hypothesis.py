@@ -688,3 +688,108 @@ def test_concurrency_sweep_equals_bruteforce(spark, seed, n_iv, keyed):
                 if (not keyed or k2 == key) and s2 <= t and t < e2
             )
             assert got[kk] == want, (key, t, got[kk], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=8), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_survival_km_matches_textbook_estimator(spark, data):
+    """api.survival_km must equal the textbook KM estimator computed
+    by a direct Python loop for ANY censoring pattern — including
+    all-censored inputs (empty curve), extinction days (d = n →
+    survival exactly 0 from there on), and ties between deaths and
+    censorings at the same duration."""
+    import math
+
+    from hadoop_deliver_spark.api import survival_km
+
+    df = spark.createDataFrame(
+        [(t, d) for t, d in data], "t_obs INT, died BOOLEAN"
+    )
+    got = {
+        r["t_obs"]: (r["at_risk"], r["deaths"], r["survival"])
+        for r in survival_km(df, "t_obs", "died").collect()
+    }
+    # direct estimator
+    want = {}
+    s = 1.0
+    hit_zero = False
+    for t in sorted({t for t, _ in data}):
+        n = sum(1 for tt, _ in data if tt >= t)
+        d = sum(1 for tt, dd in data if tt == t and dd)
+        if d == 0:
+            continue
+        if d == n:
+            hit_zero = True
+        else:
+            s *= 1.0 - d / n
+        want[t] = (n, d, 0.0 if hit_zero else s)
+    assert set(got) == set(want)
+    for t, (n, d, s_want) in want.items():
+        n_got, d_got, s_got = got[t]
+        assert (n_got, d_got) == (n, d)
+        assert math.isclose(s_got, round(s_want, 4), abs_tol=1.5e-4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=25),
+    gaps=st.lists(st.integers(min_value=1, max_value=5), min_size=0, max_size=24),
+)
+def test_ewma_smooth_matches_direct_weighted_sum(spark, vals, gaps):
+    """api.ewma_smooth must equal the direct 2^-k weighted trailing
+    sum for ANY daily series with gaps — bit-exact before the round-4
+    step (all weights are exact binary doubles)."""
+    import datetime
+
+    from hadoop_deliver_spark.api import ewma_smooth
+
+    days = [datetime.date(2024, 1, 1)]
+    for g in gaps[: len(vals) - 1]:
+        days.append(days[-1] + datetime.timedelta(days=g))
+    series = list(zip(days, vals[: len(days)]))
+    df = spark.createDataFrame(
+        [("k", d, v) for d, v in series], "key STRING, day DATE, cnt LONG"
+    )
+    got = {
+        r["day"]: r["ewma"]
+        for r in ewma_smooth(df, ["key"], "day", "cnt").collect()
+    }
+    for day, _ in series:
+        num = den = 0.0
+        for d2, v2 in series:
+            k = (day - d2).days
+            if 0 <= k <= 29:
+                num += v2 * 2.0 ** -k
+                den += 2.0 ** -k
+        assert got[day] == round(num / den, 4)
+
+
+def test_gopher_quality_rule_boundaries(spark):
+    """Each Gopher rule flips exactly at its published boundary: 49
+    vs 50 words, mean word length 3 and 10 inclusive, the 80%%
+    alpha-word ratio, and the 2-stopword presence floor."""
+    from hadoop_deliver_spark.api import gopher_quality
+
+    ok_50 = " ".join(["the"] + ["with"] + ["word"] * 48)  # 50 words, 2 stops
+    short_49 = " ".join(["the"] + ["with"] + ["word"] * 47)
+    skinny = " ".join(["the", "with"] + ["ab"] * 48)  # mean < 3
+    rows = [
+        (1, ok_50),
+        (2, short_49),
+        (3, skinny),
+    ]
+    df = spark.createDataFrame(rows, "pk INT, body STRING")
+    got = {
+        r["pk"]: r
+        for r in gopher_quality(df, "pk", "body").collect()
+    }
+    assert got[1]["r_word_count"] and got[1]["keep"]
+    assert not got[2]["r_word_count"] and not got[2]["keep"]
+    assert got[3]["r_word_count"] and not got[3]["r_mean_word_len"]
+    assert got[3]["r_stopwords"]  # 'the' + 'with' present
