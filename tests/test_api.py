@@ -381,3 +381,62 @@ def test_dedup_chunks_rewrites_in_order(spark):
         2: ("e f", 2, 1),
         3: ("g h i j", 2, 0),
     }
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    """agg_welch_ttest's exact-cents closed form must agree with a
+    direct numpy computation from the same parquet (a second oracle,
+    independent of DuckDB's aggregate paths)."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    got = load_all()["agg_welch_ttest"].fn(spark, sf_dir).collect()[0]
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.round(pdf["o_totalprice"] * 100).astype(np.int64)
+    u = (pdf["o_orderpriority"] == "1-URGENT").to_numpy()
+    x1, x2 = cents[u].to_numpy(np.float64), cents[~u].to_numpy(np.float64)
+    v1, v2 = x1.var(ddof=1), x2.var(ddof=1)
+    se2 = v1 / len(x1) + v2 / len(x2)
+    t = (x1.mean() - x2.mean()) / np.sqrt(se2)
+    dof = se2**2 / (
+        (v1 / len(x1)) ** 2 / (len(x1) - 1)
+        + (v2 / len(x2)) ** 2 / (len(x2) - 1)
+    )
+    assert got["n_urgent"] == len(x1) and got["n_rest"] == len(x2)
+    assert abs(got["mean_urgent"] - x1.mean() / 100) < 1e-3
+    assert abs(got["t_stat"] - t) < 1e-3
+    assert abs(got["dof"] - dof) < 1e-2
+
+
+def test_bloom_hits_superset_of_exact(spark, sf_dir):
+    """llm_dedup_bloom: a Bloom filter can false-positive but never
+    false-negative — bloom_hits ≥ exact_hits must hold on EVERY row,
+    and exact_hits must match a direct pandas recount."""
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    rows = load_all()["llm_dedup_bloom"].fn(spark, sf_dir).collect()
+    assert rows, "no incoming docs with shingles"
+    for r in rows:
+        assert r["bloom_hits"] >= r["exact_hits"], r
+        assert r["n_shingles"] >= r["bloom_hits"], r
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    K = 8
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + K]) for i in range(len(t) - K + 1)}
+
+    ev = set()
+    for _, row in pdf[pdf.doc_id % 2 == 0].iterrows():
+        ev |= sh(row.text)
+    want = {}
+    for _, row in pdf[pdf.doc_id % 2 == 1].iterrows():
+        s = sh(row.text)
+        if s:
+            want[row.doc_id] = (len(s), len(s & ev))
+    got = {r["doc_id"]: (r["n_shingles"], r["exact_hits"]) for r in rows}
+    assert got == want

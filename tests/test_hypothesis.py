@@ -793,3 +793,37 @@ def test_gopher_quality_rule_boundaries(spark):
     assert not got[2]["r_word_count"] and not got[2]["keep"]
     assert got[3]["r_word_count"] and not got[3]["r_mean_word_len"]
     assert got[3]["r_stopwords"]  # 'the' + 'with' present
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "d", "e"]),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_shingles_match_bruteforce(spark, docs):
+    """wave7._shingles must emit exactly the k-gram positions a direct
+    Python loop produces — including docs shorter than k (zero rows)
+    and intra-doc repeats (one row per POSITION, not per type)."""
+    from hadoop_deliver_spark.operators.wave7 import _K, _shingles
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(
+        (r["doc_id"], r["s"]) for r in _shingles(df).collect()
+    )
+    want = []
+    for i, raw in enumerate(docs):
+        # split(' ') parity: the empty doc tokenizes to [''], not []
+        toks = " ".join(raw).split(" ")
+        for j in range(len(toks) - _K + 1):
+            want.append((i, " ".join(toks[j : j + _K])))
+    assert got == sorted(want)

@@ -205,6 +205,14 @@ _NESTED_LOOP_OK = {
     # 1-row corpus-max bounds broadcast for censoring (the
     # ts_resample_gapfill pattern)
     "events_survival_km",
+    # 1-row corpus-totals broadcast (T, R smoothing denominators);
+    # the per-token lookup itself is a 128-row broadcast HASH join
+    "llm_dsir_weights",
+    # two 1-row broadcasts: the mean/σ pair and the peak |cusum|
+    "ts_cusum_changepoint",
+    # two 1-row broadcasts: the grand total/dof and the chi2 sum;
+    # marginals join back by hash on their keys
+    "agg_chi2_independence",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -235,6 +243,11 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # (regr_slope over the vocabulary); the rank window itself
     # partitions by block (api.exact_global_rank)
     "llm_zipf_fit",
+    # the CUSUM running sum runs over the calendar-bounded day
+    # aggregate (same bounded-axis argument as orders_open_backlog);
+    # the SinglePartition also covers the 1-row mean/σ and peak
+    # aggregates
+    "ts_cusum_changepoint",
 }
 
 _plan_cache: dict[str, str] = {}
