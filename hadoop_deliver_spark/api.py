@@ -62,6 +62,10 @@ __all__ = [
     "triangle_count",
     "concurrency_sweep",
     "dedup_chunks",
+    "gopher_quality",
+    "survival_km",
+    "ewma_smooth",
+    "holt_smooth",
 ]
 
 
@@ -1780,3 +1784,67 @@ def ewma_smooth(
             ).alias(out)
         )
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over each keyed
+    series: l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t −
+    l_{t−1}) + (1−β)b_{t−1}, seeded l_1 = x_1, b_1 = x_2 − x_1;
+    ``fcst`` is the one-step-ahead forecast l_{t−1}+b_{t−1} (= x_1
+    at the seed). Appends (level, trend, fcst) rounded HALF_UP to 4
+    decimals — SQL round semantics, NOT Python's banker's rounding,
+    because binary α/β park values on exact .5 boundaries routinely.
+    Series shorter than 2 rows are dropped (no trend seed exists).
+
+    The recurrence reads its own previous OUTPUT, so no built-in
+    window can express it: this is the applyInPandas sequential-state
+    template — one shuffle on the series key, O(1) state (two
+    doubles) per series, each series an independent loop. The default
+    α=1/2, β=1/4 keep every step's arithmetic bit-identical to a SQL
+    engine replaying the same recurrence (see ts_holt_winters's
+    RECURSIVE-CTE oracle).
+
+    >>> holt_smooth(daily, ["event_type"], "day", "cnt")
+    """
+    import math
+
+    import pandas as pd
+
+    keys = list(key_cols)
+    in_cols = keys + [time_col, value_col]
+    out_schema_df = df.select(*in_cols).schema
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema_df
+    )
+    schema += ", level DOUBLE, trend DOUBLE, fcst DOUBLE"
+
+    def r4(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e4 + 0.5), v) / 1e4
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        if len(pdf) < 2:
+            return pdf.iloc[0:0].assign(level=0.0, trend=0.0, fcst=0.0)
+        x = pdf[value_col].astype("float64").to_numpy()
+        lvl, tr, fc = [x[0]], [x[1] - x[0]], [x[0]]
+        for t in range(1, len(x)):
+            fc.append(lvl[-1] + tr[-1])
+            ln = alpha * x[t] + (1.0 - alpha) * (lvl[-1] + tr[-1])
+            tn = beta * (ln - lvl[-1]) + (1.0 - beta) * tr[-1]
+            lvl.append(ln)
+            tr.append(tn)
+        out = pdf[in_cols].copy()
+        out["level"] = [r4(v) for v in lvl]
+        out["trend"] = [r4(v) for v in tr]
+        out["fcst"] = [r4(v) for v in fc]
+        return out
+
+    return df.select(*in_cols).groupBy(*keys).applyInPandas(run, schema)

@@ -440,3 +440,80 @@ def test_bloom_hits_superset_of_exact(spark, sf_dir):
             want[row.doc_id] = (len(s), len(s & ev))
     got = {r["doc_id"]: (r["n_shingles"], r["exact_hits"]) for r in rows}
     assert got == want
+
+
+def test_semdedup_matches_numpy_bruteforce(spark, sf_dir):
+    """llm_semdedup's full decision set (assignment, similar pairs,
+    drop rule) recomputed brute-force in numpy from the same parquet
+    must agree exactly — a second oracle independent of DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    rows = load_all()["llm_semdedup"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    C = E[ids < 10]
+    d2 = ((E**2).sum(1)[:, None] - 2 * E @ C.T + (C**2).sum(1)[None, :])
+    cl = d2.argmin(1)
+    simc = (E @ C.T) / (
+        np.linalg.norm(E, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    my_simc = simc[np.arange(len(E)), cl]
+    cos = (E @ E.T) / (
+        np.linalg.norm(E, axis=1)[:, None] * np.linalg.norm(E, axis=1)[None, :]
+    )
+    dropped = set()
+    for i in range(len(E)):
+        for j in range(i + 1, len(E)):
+            if cl[i] == cl[j] and cos[i, j] >= 0.8:
+                if my_simc[i] > my_simc[j]:
+                    dropped.add(ids[i])
+                elif my_simc[j] > my_simc[i]:
+                    dropped.add(ids[j])
+                else:
+                    dropped.add(max(ids[i], ids[j]))
+    got = {r["vec_id"]: (r["cluster"], r["kept"]) for r in rows}
+    want = {
+        int(ids[i]): (int(cl[i]), ids[i] not in dropped)
+        for i in range(len(E))
+    }
+    assert got == want
+    # and every cluster keeps at least one member (the least central
+    # member can never be the more-central one of any pair)
+    kept_by_cluster = {}
+    for vid, (c, k) in got.items():
+        kept_by_cluster.setdefault(c, 0)
+        kept_by_cluster[c] += int(k)
+    assert all(v >= 1 for v in kept_by_cluster.values())
+
+
+def test_mann_whitney_matches_direct_ranks(spark, sf_dir):
+    """agg_mann_whitney vs a direct midrank computation in pandas
+    (average ranks, tie-corrected z) — a second oracle independent of
+    both the block-rank core and DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    got = load_all()["agg_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.round(pdf["o_totalprice"] * 100).astype(np.int64)
+    urg = (pdf["o_orderpriority"] == "1-URGENT").to_numpy()
+    ranks = pd.Series(cents).rank(method="average").to_numpy()
+    n1, n2 = int(urg.sum()), int((~urg).sum())
+    r1 = ranks[urg].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    _, t = np.unique(cents, return_counts=True)
+    ties = float((t**3 - t).sum())
+    sigma = np.sqrt(n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2) / sigma
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["u1"] - u1) < 1e-6
+    assert abs(got["z"] - z) < 1e-3

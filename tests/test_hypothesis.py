@@ -827,3 +827,54 @@ def test_shingles_match_bruteforce(spark, docs):
         for j in range(len(toks) - _K + 1):
             want.append((i, " ".join(toks[j : j + _K])))
     assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    series=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=1000), min_size=0, max_size=15
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_holt_smooth_matches_direct_recurrence(spark, series):
+    """api.holt_smooth must equal the direct Holt recurrence for ANY
+    keyed integer series — including singleton series (dropped: no
+    trend seed) and empty keys. Exact match: binary α/β plus HALF_UP
+    rounding on both sides."""
+    import math
+
+    from hadoop_deliver_spark.api import holt_smooth
+
+    rows = [
+        (f"k{i}", t, v)
+        for i, xs in enumerate(series)
+        for t, v in enumerate(xs)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "key STRING, t INT, cnt LONG")
+    got = {
+        (r["key"], r["t"]): (r["level"], r["trend"], r["fcst"])
+        for r in holt_smooth(df, ["key"], "t", "cnt").collect()
+    }
+
+    def r4(v):
+        return math.copysign(math.floor(abs(v) * 1e4 + 0.5), v) / 1e4
+
+    want = {}
+    for i, xs in enumerate(series):
+        if len(xs) < 2:
+            continue
+        lvl, tr, fc = [float(xs[0])], [float(xs[1] - xs[0])], [float(xs[0])]
+        for t in range(1, len(xs)):
+            fc.append(lvl[-1] + tr[-1])
+            ln = 0.5 * xs[t] + 0.5 * (lvl[-1] + tr[-1])
+            tn = 0.25 * (ln - lvl[-1]) + 0.75 * tr[-1]
+            lvl.append(ln)
+            tr.append(tn)
+        for t in range(len(xs)):
+            want[(f"k{i}", t)] = (r4(lvl[t]), r4(tr[t]), r4(fc[t]))
+    assert got == want

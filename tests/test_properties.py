@@ -213,6 +213,12 @@ _NESTED_LOOP_OK = {
     # two 1-row broadcasts: the grand total/dof and the chi2 sum;
     # marginals join back by hash on their keys
     "agg_chi2_independence",
+    # 10-row seed-centroid broadcast (the llm_sim_ivf pattern); the
+    # within-cell pair join is an equi-join on the cell key
+    "llm_semdedup",
+    # two 1-row broadcasts over the 9-row digit table: the grand
+    # total and the MAD
+    "orders_benford",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -248,6 +254,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition also covers the 1-row mean/σ and peak
     # aggregates
     "ts_cusum_changepoint",
+    # the SinglePartition is the 1-ROW final U/z reduce; the rank
+    # windows partition by block (api.exact_global_rank)
+    "agg_mann_whitney",
 }
 
 _plan_cache: dict[str, str] = {}
