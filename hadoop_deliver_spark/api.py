@@ -42,6 +42,7 @@ __all__ = [
     "exact_global_ntile",
     "exact_global_rank",
     "exact_global_cumsum_desc",
+    "exact_global_keyed_cumsum",
     "canonical_url",
     "heavy_hitters",
     "dataset_split",
@@ -468,6 +469,48 @@ def exact_global_rank(
         + off_map[F.col(blk)]
     )
     return blocked.withColumn(out_col, rn.cast("long")).drop(blk)
+
+
+def exact_global_keyed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    key_col: str,
+    out_col: str,
+    nblocks: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = EXACT running sum of ``value_col`` over
+    rows ordered by (order_col ASC, key_col ASC) — the generalized
+    form of exact_global_cumsum_desc where the ORDER axis and the
+    SUMMED measure are different columns (a CDF over a value grid, a
+    backlog over time, …). Same block-ranked shape: blocks split on
+    the order axis, the cumsum window partitions BY BLOCK, and each
+    block adds the broadcast exact total of all strictly-lower
+    blocks. Integer measures ⇒ associative ⇒ identical to the
+    single-task global window at any parallelism. key_col must be
+    unique within the block order (deterministic tiebreak).
+
+    >>> cdf = exact_global_keyed_cumsum(byval, "cents", "cnt", "cents", "cum")
+    """
+    splits = _approx_splits(df, order_col, nblocks)
+    split_arr = _split_arr(splits)
+    blk = f"_blk_{out_col}"
+    blocked = df.withColumn(
+        blk, F.size(F.filter(split_arr, lambda s: s < F.col(order_col)))
+    )
+    sums = {
+        r[blk]: r["s"]
+        for r in blocked.groupBy(blk).agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets = {b: sum(s for bb, s in sums.items() if bb < b) for b in sums}
+    off_map = _offset_map(offsets)
+    w = (
+        Window.partitionBy(blk)
+        .orderBy(F.col(order_col), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum(value_col).over(w) + off_map[F.col(blk)]).cast("long")
+    return blocked.withColumn(out_col, cum).drop(blk)
 
 
 # --------------------------------------------------------------------------

@@ -878,3 +878,39 @@ def test_holt_smooth_matches_direct_recurrence(spark, series):
         for t in range(len(xs)):
             want[(f"k{i}", t)] = (r4(lvl[t]), r4(tr[t]), r4(fc[t]))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    nblocks=st.sampled_from([1, 2, 4, 32]),
+)
+def test_keyed_cumsum_matches_global_window(spark, rows, nblocks):
+    """api.exact_global_keyed_cumsum must equal the single-task
+    global running sum for ANY (order, value) rows and ANY block
+    count — including empty input, duplicate order values (unique
+    key tiebreak), and nblocks=1 (degenerate single block)."""
+    from hadoop_deliver_spark.api import exact_global_keyed_cumsum
+
+    data = [(i, o, v) for i, (o, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k INT, ord INT, val LONG"
+    )
+    got = {
+        r["k"]: r["cum"]
+        for r in exact_global_keyed_cumsum(
+            df, "ord", "val", "k", "cum", nblocks=nblocks
+        ).collect()
+    }
+    run, want = 0, {}
+    for k, o, v in sorted(data, key=lambda t: (t[1], t[0])):
+        run += v
+        want[k] = run
+    assert got == want

@@ -216,6 +216,8 @@ _NESTED_LOOP_OK = {
     # 10-row seed-centroid broadcast (the llm_sim_ivf pattern); the
     # within-cell pair join is an equi-join on the cell key
     "llm_semdedup",
+    # two 1-row broadcasts: the (n1, n2) totals and the sup |dnum|
+    "agg_ks_test",
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
@@ -257,6 +259,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition is the 1-ROW final U/z reduce; the rank
     # windows partition by block (api.exact_global_rank)
     "agg_mann_whitney",
+    # the SinglePartitions are the 1-row totals/max reduces; the CDF
+    # cumsum windows partition by block (api.exact_global_keyed_cumsum)
+    "agg_ks_test",
 }
 
 _plan_cache: dict[str, str] = {}
@@ -792,6 +797,7 @@ _COLLECT_OK = {
     ("api.py", "_approx_splits"),
     ("api.py", "exact_global_ntile"),
     ("api.py", "exact_global_cumsum_desc"),
+    ("api.py", "exact_global_keyed_cumsum"),
     ("api.py", "exact_global_rank"),
     # unkeyed path only: one row per calendar day of boundary points
     # (keyed path uses a partitioned window, no collect)
