@@ -517,3 +517,53 @@ def test_mann_whitney_matches_direct_ranks(spark, sf_dir):
     assert (got["n1"], got["n2"]) == (n1, n2)
     assert abs(got["u1"] - u1) < 1e-6
     assert abs(got["z"] - z) < 1e-3
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    """agg_gini vs the direct numpy Gini on sorted values."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    got = load_all()["agg_gini"].fn(spark, sf_dir).collect()[0]
+    cents = np.sort(
+        np.round(
+            pd.read_parquet(f"{sf_dir}/orders.parquet")["o_totalprice"] * 100
+        ).astype(np.int64)
+    )
+    n = len(cents)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    g = 2 * (i * cents).sum() / (n * cents.sum()) - (n + 1) / n
+    assert got["n"] == n
+    assert abs(got["gini"] - g) < 1e-6
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    """events_cuped vs the direct numpy CUPED adjustment — and the
+    adjustment must not move the pooled mean (Σ adjusted = Σ raw)."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    got = load_all()["events_cuped"].fn(spark, sf_dir).collect()[0]
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e["day"] = pd.to_datetime(e["ts"]).dt.date
+    pur = e[e.event_type == "purchase"]
+    cut = pd.Timestamp("2024-01-16").date()
+    per_user = pd.DataFrame(
+        {
+            "x": pur[pur.day < cut].groupby("user_id").size(),
+            "y": pur[pur.day >= cut].groupby("user_id").size(),
+        }
+    )
+    all_users = e["user_id"].unique()
+    per_user = per_user.reindex(all_users).fillna(0)
+    x, y = per_user["x"].to_numpy(), per_user["y"].to_numpy()
+    arm = (per_user.index.to_numpy() % 2).astype(int)
+    theta = np.cov(x, y, ddof=0)[0, 1] / x.var()
+    adj = y - theta * (x - x.mean())
+    want = adj[arm == 0].mean() - adj[arm == 1].mean()
+    assert abs(got["theta"] - theta) < 1e-3
+    assert abs(got["diff_cuped"] - want) < 1e-3

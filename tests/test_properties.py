@@ -262,6 +262,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartitions are the 1-row totals/max reduces; the CDF
     # cumsum windows partition by block (api.exact_global_keyed_cumsum)
     "agg_ks_test",
+    # the SinglePartition is the 1-ROW Gini reduce; the rank windows
+    # partition by block (api.exact_global_rank)
+    "agg_gini",
 }
 
 _plan_cache: dict[str, str] = {}
