@@ -218,6 +218,9 @@ _NESTED_LOOP_OK = {
     "llm_semdedup",
     # two 1-row broadcasts: the (n1, n2) totals and the sup |dnum|
     "agg_ks_test",
+    # 1-row broadcasts throughout: total, Q1, Q3, fence count — the
+    # quantile table against the scan is the only fact-sized side
+    "dq_outlier_iqr",
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
@@ -265,6 +268,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition is the 1-ROW Gini reduce; the rank windows
     # partition by block (api.exact_global_rank)
     "agg_gini",
+    # the SinglePartitions are the 1-row total/quantile/fence
+    # reduces; the CDF cumsum windows partition by block
+    # (api.exact_global_keyed_cumsum)
+    "dq_outlier_iqr",
 }
 
 _plan_cache: dict[str, str] = {}
