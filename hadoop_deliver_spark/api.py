@@ -67,6 +67,7 @@ __all__ = [
     "survival_km",
     "ewma_smooth",
     "holt_smooth",
+    "winnow_fingerprints",
 ]
 
 
@@ -1891,3 +1892,48 @@ def holt_smooth(
         return out
 
     return df.select(*in_cols).groupBy(*keys).applyInPandas(run, schema)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram_k: int = 3,
+    window_w: int = 4,
+) -> DataFrame:
+    """(id_col, f): Winnowing fingerprints (Schleimer et al., SIGMOD
+    2003) of each row's text — hash every ``gram_k``-token gram
+    (md5-derived 32-bit value, SQL-replayable), slide a window of
+    ``window_w`` hashes, keep each window's minimum, emit the
+    distinct minima. Detection guarantee: two texts sharing any run
+    of ≥ window_w + gram_k − 1 tokens share at least one
+    fingerprint; storage density ~2/(window_w+1) of gram count.
+    Entirely in-row array algebra (map-only) until the caller joins
+    on ``f``.
+
+    >>> fp = winnow_fingerprints(docs, "doc_id", "body")
+    >>> pairs = fp.alias("a").join(fp.alias("b"), "f")...
+    """
+    a = F.split(text_col, " ")
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice(a, i, gram_k)).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = F.when(
+        F.size(a) >= gram_k,
+        F.transform(F.sequence(F.lit(1), F.size(a) - (gram_k - 1)), gram_hash),
+    ).otherwise(F.array().cast("array<long>"))
+    h = df.select(id_col, hashes.alias("_wf_h")).where(
+        F.size("_wf_h") >= window_w
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("_wf_h") - (window_w - 1)),
+        lambda i: F.array_min(F.slice("_wf_h", i, window_w)),
+    )
+    return h.select(id_col, F.explode(F.array_distinct(mins)).alias("f"))

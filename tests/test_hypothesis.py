@@ -914,3 +914,28 @@ def test_keyed_cumsum_matches_global_window(spark, rows, nblocks):
         run += v
         want[k] = run
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=15),
+    right=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=15),
+    shared=st.lists(st.sampled_from("uvwxyz"), min_size=6, max_size=9),
+)
+def test_winnowing_detection_guarantee(spark, left, right, shared):
+    """Winnowing's defining property (Schleimer et al. 2003): two
+    texts sharing ANY token run of length ≥ w+k−1 (= 6 here) must
+    share at least one fingerprint — regardless of what surrounds
+    the run. Also: fingerprints of a doc are a subset of its own
+    gram hashes (minima of windows)."""
+    from hadoop_deliver_spark.api import winnow_fingerprints
+
+    doc1 = " ".join(left + shared)
+    doc2 = " ".join(shared + right)
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "pk LONG, body STRING"
+    )
+    fp = winnow_fingerprints(df, "pk", "body").collect()
+    f1 = {r["f"] for r in fp if r["pk"] == 1}
+    f2 = {r["f"] for r in fp if r["pk"] == 2}
+    assert f1 & f2, (doc1, doc2, f1, f2)
