@@ -567,3 +567,28 @@ def test_cuped_matches_numpy(spark, sf_dir):
     want = adj[arm == 0].mean() - adj[arm == 1].mean()
     assert abs(got["theta"] - theta) < 1e-3
     assert abs(got["diff_cuped"] - want) < 1e-3
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """agg_spearman vs pandas' built-in Spearman (tie-aware) — a
+    second oracle independent of both the rank core and DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    got = load_all()["agg_spearman"].fn(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = o.groupby("o_custkey").agg(
+        spend=("o_totalprice", lambda s: np.round(s * 100).astype(np.int64).sum()),
+        n_orders=("o_orderkey", "size"),
+    )
+    # rank-then-Pearson (pandas' method="spearman" needs scipy,
+    # absent here; average ranks + plain corr is the same estimator)
+    rho = (
+        cust["spend"]
+        .rank(method="average")
+        .corr(cust["n_orders"].rank(method="average"))
+    )
+    assert got["n"] == len(cust)
+    assert abs(got["rho"] - rho) < 1e-3

@@ -221,6 +221,9 @@ _NESTED_LOOP_OK = {
     # 1-row broadcasts throughout: total, Q1, Q3, fence count — the
     # quantile table against the scan is the only fact-sized side
     "dq_outlier_iqr",
+    # 1-row bigram-type-count broadcast (the KN continuation
+    # denominator); all other joins are keyed on w1/w2
+    "llm_kneser_ney",
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
@@ -272,6 +275,12 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # reduces; the CDF cumsum windows partition by block
     # (api.exact_global_keyed_cumsum)
     "dq_outlier_iqr",
+    # the SinglePartition is the 1-ROW moment reduce; both rank
+    # passes partition by block (api.exact_global_rank)
+    "agg_spearman",
+    # the SinglePartition is the 1-row bigram-type count; the top-3
+    # window partitions by context (w1)
+    "llm_kneser_ney",
 }
 
 _plan_cache: dict[str, str] = {}
