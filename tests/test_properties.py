@@ -224,6 +224,9 @@ _NESTED_LOOP_OK = {
     # 1-row bigram-type-count broadcast (the KN continuation
     # denominator); all other joins are keyed on w1/w2
     "llm_kneser_ney",
+    # 1-row broadcasts: grand total and the two entropy scalars;
+    # marginals join back by hash on their keys
+    "agg_mutual_info",
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
@@ -839,6 +842,9 @@ _COLLECT_OK = {
     ("fnx2.py", "sink_range_partitioned"),
     # probe set broadcast-small BY CONTRACT (1% fixed sample)
     ("llm.py", "llm_sim_bruteforce"),
+    # ≤ |event_type|² transition matrix (domain bound, not data
+    # bound) — the 5-step recurrence runs driver-side over ≤25 cells
+    ("wave14.py", "events_markov_reach"),
     # one-time 25-row dim staging into the avro/json fixture feeds
     ("sources.py", "scan_avro"),
     ("sources.py", "scan_json_corrupt"),
