@@ -227,6 +227,11 @@ _NESTED_LOOP_OK = {
     # 1-row broadcasts: grand total and the two entropy scalars;
     # marginals join back by hash on their keys
     "agg_mutual_info",
+    # 1-row (N, avgdl) stats broadcast (the llm_bm25 pattern); all
+    # other joins are keyed on term/doc_id
+    "llm_retrieval_metrics",
+    # 1-row revenue-total broadcast for the Pareto share compare
+    "orders_abc_xyz",
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
@@ -284,6 +289,12 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition is the 1-row bigram-type count; the top-3
     # window partitions by context (w1)
     "llm_kneser_ney",
+    # the SinglePartitions are the 1-row (N, avgdl) stats; both
+    # ranking windows partition by query term
+    "llm_retrieval_metrics",
+    # the SinglePartition is the 1-row revenue total; the Pareto
+    # cumsum windows partition by block (api.exact_global_cumsum_desc)
+    "orders_abc_xyz",
 }
 
 _plan_cache: dict[str, str] = {}
