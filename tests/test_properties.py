@@ -232,6 +232,13 @@ _NESTED_LOOP_OK = {
     "llm_retrieval_metrics",
     # 1-row revenue-total broadcast for the Pareto share compare
     "orders_abc_xyz",
+    # 1-row (n_types, V) scalar broadcast for the KN floors; all
+    # other joins are keyed on w1/w2
+    "llm_perplexity_eval",
+    # 1-row broadcasts: trim cut, winsor bounds, the two means
+    "agg_trimmed_mean",
+    # 1-row node-count broadcast onto the 1-row moment reduce
+    "graph_assortativity",
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
@@ -295,6 +302,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition is the 1-row revenue total; the Pareto
     # cumsum windows partition by block (api.exact_global_cumsum_desc)
     "orders_abc_xyz",
+    # the SinglePartitions are the 1-row cut/bounds/mean reduces;
+    # the rank windows partition by block (api.exact_global_rank)
+    "agg_trimmed_mean",
 }
 
 _plan_cache: dict[str, str] = {}
