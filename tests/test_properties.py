@@ -239,6 +239,10 @@ _NESTED_LOOP_OK = {
     "agg_trimmed_mean",
     # 1-row node-count broadcast onto the 1-row moment reduce
     "graph_assortativity",
+    # 1-row (n, total) broadcast back onto the scan pass
+    "agg_theil_index",
+    # 1-row bin-total and ECE broadcasts over the ≤10-row bin table
+    "llm_calibration_ece",
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
