@@ -171,7 +171,14 @@ def minhash_pairs(
     """
     assert n_perm >= 2 * n_bands, "need ≥2 minhash rows per band"
     rows = n_perm // n_bands
-    sets = shingle_sets(df, id_col, text_col, k=shingle_k).cache()
+    # localCheckpoint, not cache(): the shingle sets are referenced by
+    # the lazily returned plan (minhash build + exact refine), and a
+    # cache() here would pin executor storage for the whole session —
+    # checkpoint blocks are instead released by the ContextCleaner
+    # when the returned DataFrame is garbage-collected
+    sets = shingle_sets(df, id_col, text_col, k=shingle_k).localCheckpoint(
+        eager=True
+    )
     inv = sets.select(id_col, F.explode("shingles").alias("sh"))
     minhash = inv.groupBy(id_col).agg(
         *[
@@ -650,16 +657,25 @@ def jaccard_pairs(
     recall; every qualifying pair is returned, bit-for-bit
     reproducible across engines).
 
-    Shape: PPJoin-style prefix filter (Xiao et al., public
-    algorithm) — grams ordered globally by document frequency asc;
-    two sets with J ≥ t MUST share a gram within each one's first
-    |x| − ⌈t·|x|⌉ + 1 grams, so only rare-gram prefixes join (one
-    extra slot kept as ceiling-arithmetic margin). A lossless
+    Shape: PPJoin prefix + positional filter (Xiao et al., WWW'08;
+    relational formulation after Vernica/Carey/Li, SIGMOD'10 — both
+    public algorithms) — grams ordered globally by document frequency
+    asc; two sets with J ≥ t MUST share a gram within each one's
+    first |x| − ⌈t·|x|⌉ + 1 grams, so only rare-gram prefixes join
+    (one extra slot kept as ceiling-arithmetic margin). A lossless
     size-ratio predicate (t·|A| ≤ |B| ≤ |A|/t) prunes the candidate
-    join, and the exact refine runs on dictionary-encoded bitmaps
-    (:func:`bitmap_sets` — Σ bit_count(a&b) per pair, codegen'd).
-    Driver-side state: one scalar collect (max gram id). The bitmap
-    table is |corpus| × |vocab|/64 longs and is broadcast — the
+    join, and the POSITIONAL filter prunes it further: a shared gram
+    at rank i of A and j of B bounds the overlap by
+    u = 1 + min(|A|−i, |B|−j), so the pair can reach J ≥ t through
+    this gram only if u/(|A|+|B|−u) ≥ t. Lossless because the FIRST
+    shared gram (in the global order) of a truly-similar pair sits
+    at rank ≤ |x|−α+1 in both sets (α = required overlap), where the
+    bound passes; float-division monotonicity makes the float compare
+    exactly as permissive as the refine's. The exact refine runs on
+    dictionary-encoded bitmaps (:func:`bitmap_sets` —
+    Σ bit_count(a&b) per pair, codegen'd). Driver-side state: one
+    scalar collect (max gram id). The bitmap table is
+    |corpus| × |vocab|/64 longs and is broadcast — the
     dense-small-vocabulary fast path; for a natural web-scale corpus
     (vocab ~ corpus) swap the two broadcast joins for shuffle joins
     and the refine for sorted-array intersection; the candidate
@@ -668,35 +684,76 @@ def jaccard_pairs(
     >>> jaccard_pairs(docs, "pk", "body", threshold=0.6)
     """
     t = threshold
-    grams = char_gram_sets(df, id_col, text_col, k=char_k).cache()
+    # localCheckpoint, not cache(): referenced by the lazily returned
+    # plan (candidate stage + bitmap refine); checkpoint blocks are
+    # released by the ContextCleaner on GC instead of pinning executor
+    # storage for the session
+    grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
+        eager=True
+    )
     inv = grams.select(
         id_col, F.size("gs").alias("_jp_n"), F.explode("gs").alias("_jp_g")
     )
     gdf = inv.groupBy("_jp_g").agg(F.count(F.lit(1)).alias("_jp_gdf"))
     wg = Window.partitionBy(id_col).orderBy("_jp_gdf", "_jp_g")
-    prefix = (
+    # _jp_h: int join key — a hash COLLISION can only fabricate an
+    # extra candidate (killed by the exact refine), never lose one,
+    # so the string never needs to travel through the candidate join
+    ranked = (
         inv.join(F.broadcast(gdf), "_jp_g")
         .withColumn("_jp_rk", F.row_number().over(wg))
-        .filter(
-            F.col("_jp_rk")
-            <= F.col("_jp_n") - F.ceil(F.lit(t) * F.col("_jp_n")) + 2
-        )
-        .select(id_col, "_jp_n", "_jp_g")
+        .withColumn("_jp_h", F.xxhash64("_jp_g"))
+        .select(id_col, "_jp_n", "_jp_h", "_jp_rk")
     )
-    a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("_jp_n").alias("na"), "_jp_g"
+    # size-ordered roles: the SMALLER set of a qualifying pair needs
+    # only its first |x| − ⌈2t/(1+t)·|x|⌉ + 1 grams probed (overlap
+    # α ≥ t/(1+t)·(|x|+|y|) ≥ 2t/(1+t)·|x| when |y| ≥ |x|), while the
+    # larger side keeps the standard |y| − ⌈t·|y|⌉ + 1 index prefix —
+    # and each pair is generated in ONE role order instead of two
+    short = ranked.filter(
+        F.col("_jp_rk")
+        <= F.col("_jp_n")
+        - F.ceil(F.lit(2 * t / (1 + t)) * F.col("_jp_n"))
+        + 2
     )
-    b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("_jp_n").alias("nb"), "_jp_g"
+    full = ranked.filter(
+        F.col("_jp_rk")
+        <= F.col("_jp_n") - F.ceil(F.lit(t) * F.col("_jp_n")) + 2
+    )
+    a = short.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_jp_n").alias("na"),
+        "_jp_h",
+        F.col("_jp_rk").alias("_jp_rka"),
+    )
+    b = full.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_jp_n").alias("nb"),
+        "_jp_h",
+        F.col("_jp_rk").alias("_jp_rkb"),
+    )
+    # positional overlap upper bound through THIS shared gram: the
+    # first shared gram of a truly-qualifying pair sits at rank
+    # ≤ |x|−α+1 in both sets, where this bound provably passes;
+    # float-division monotonicity keeps the compare exactly as
+    # permissive as the refine's
+    ub = F.lit(1) + F.least(
+        F.col("na") - F.col("_jp_rka"), F.col("nb") - F.col("_jp_rkb")
     )
     cands = (
-        a.join(b, ["_jp_g"])
+        a.join(b, ["_jp_h"])
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+            (
+                (F.col("nb") > F.col("na"))
+                | ((F.col("nb") == F.col("na")) & (F.col("id_b") > F.col("id_a")))
+            )
             & (F.col("nb") <= F.floor(F.col("na") / F.lit(t)))
+            & (ub >= F.lit(t) * (F.col("na") + F.col("nb") - ub))
         )
-        .select("id_a", "id_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
     gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
@@ -763,7 +820,11 @@ def containment_pairs(
     >>> containment_pairs(docs, "pk", "body", threshold=0.9)
     """
     t = threshold
-    grams = char_gram_sets(df, id_col, text_col, k=char_k).cache()
+    # localCheckpoint, not cache() — same storage-lifecycle argument
+    # as jaccard_pairs/minhash_pairs
+    grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
+        eager=True
+    )
     inv = grams.select(
         id_col, F.size("gs").alias("_cp_n"), F.explode("gs").alias("_cp_g")
     )
@@ -1325,7 +1386,11 @@ def heavy_hitters(
         df.join(F.broadcast(cand), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias(out))
-        .where(F.col(out) > n_total / threshold_denom)
+        # cross-multiplied so the threshold decision stays in exact
+        # integer arithmetic (cnt > n/denom ⟺ cnt·denom > n): at very
+        # large n the double rounding of n/denom could flip an
+        # exact-boundary key
+        .where(F.col(out) * threshold_denom > F.lit(n_total))
     )
 
 

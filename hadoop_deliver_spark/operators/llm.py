@@ -193,36 +193,33 @@ def _with_cosine(joined: DataFrame, ea: str, eb: str, na: str, nb: str) -> DataF
 )
 def llm_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for a probe set (vec_id % 100 = 0):
-    the probes ride along as a LITERAL array exploded against each
-    base row — one map-side pass over the base vectors, dot product
-    via zip_with+aggregate, per-probe window top-k; no join node of
-    any kind in the plan (an earlier version broadcast the probes
-    through a BroadcastNestedLoopJoin — same work, but it needed a
-    plan-guard allowlist slot; a grid-cell equi-join canNOT replace
-    it, because the grid prunes pairs below a cosine threshold while
-    exact top-k must consider arbitrarily-low cosines). The probe
-    collect is a tiny driver action — probes are broadcastable by
-    contract, that is what makes brute force the correct 100 TB shape
-    here. Ranking sorts on the float32 cosine (+ id tiebreak) so
-    last-ulp engine drift cannot change top-k membership."""
+    probes stay a DATAFRAME and ride through an explicit F.broadcast()
+    nested-loop join against the base vectors — one map-side pass per
+    base partition, nothing collected to the driver, dot product via
+    zip_with+aggregate, per-probe window top-k. (Earlier versions
+    collected the probe rows and inlined them as plan LITERALS; the
+    probe set is a fixed fraction of the corpus, so at 100× that meant
+    a driver OOM and a megabyte-scale expression tree. The broadcast
+    join does the identical pairing work but ships probes through the
+    torrent broadcast path, built for exactly this — the same shape
+    llm_knn_classify uses, allowlisted in the plan sweep with this
+    argument. A grid-cell equi-join canNOT replace it: the grid prunes
+    pairs below a cosine threshold while exact top-k must consider
+    arbitrarily-low cosines.) Scale contract: the PROBE side must fit
+    in a broadcast; for corpus-scale probe sets shard the probes and
+    union the per-shard top-k. Ranking sorts on the float32 cosine
+    (+ id tiebreak) so last-ulp engine drift cannot change top-k
+    membership."""
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).withColumn("nrm", _norm("e"))
-    probe_rows = emb.filter(F.col("vec_id") % 100 == 0).collect()
-    probe_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r.vec_id).alias("probe_id"),
-                F.array(*[F.lit(x) for x in r.e]).alias("pe"),
-                F.lit(r.nrm).alias("pnrm"),
-            )
-            for r in probe_rows
-        ]
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
     )
-    joined = (
-        emb.select("vec_id", "e", "nrm", F.explode(probe_arr).alias("p"))
-        .select("vec_id", "e", "nrm", "p.probe_id", "p.pe", "p.pnrm")
-        .filter(F.col("probe_id") != F.col("vec_id"))
+    joined = emb.join(F.broadcast(probes)).filter(
+        F.col("probe_id") != F.col("vec_id")
     )
     scored = _with_cosine(joined, "pe", "e", "pnrm", "nrm").select(
         "probe_id",

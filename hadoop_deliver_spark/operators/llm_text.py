@@ -50,46 +50,80 @@ LANG_MARKERS = {
         FROM documents
     ),
     inv AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams),
+    gdf AS (SELECT g, count(*) AS gdf FROM inv GROUP BY g),
+    ranked AS (
+        SELECT i.doc_id, i.n, i.g,
+               row_number() OVER (PARTITION BY i.doc_id
+                                  ORDER BY d.gdf, i.g) AS rk
+        FROM inv i JOIN gdf d USING (g)
+    ),
+    -- the same lossless PPJoin candidate stage the engine runs:
+    -- df-asc prefix filter (short probing prefix on the smaller-role
+    -- side, standard index prefix on the larger), size-ratio bound,
+    -- and the positional overlap upper bound through the shared gram
+    cands AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id)    AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM (SELECT * FROM ranked
+              WHERE rk <= n - ceil(2 * 0.55 / 1.55 * n) + 2) a
+        JOIN (SELECT * FROM ranked
+              WHERE rk <= n - ceil(0.55 * n) + 2) b
+          ON a.g = b.g
+         AND (b.n > a.n OR (b.n = a.n AND b.doc_id > a.doc_id))
+         AND b.n <= floor(a.n / 0.55)
+         AND (1 + least(a.n - a.rk, b.n - b.rk))
+             >= 0.55 * (a.n + b.n - (1 + least(a.n - a.rk, b.n - b.rk)))
+    ),
+    -- exact refine on 64-bit dictionary-coded bitmap words (the
+    -- engine's bitmap_sets twin): O(vocab/64) AND+popcount per pair
+    -- instead of an O(|A|*|B|) list intersection
+    gid AS (SELECT g, CAST(row_number() OVER (ORDER BY g) - 1 AS INT)
+                   AS gid
+            FROM gdf),
+    words AS (
+        SELECT i.doc_id, any_value(i.n) AS n, x.gid // 64 AS chunk,
+               bit_or(CAST(1 AS UBIGINT) << (x.gid % 64)) AS w
+        FROM inv i JOIN gid x USING (g)
+        GROUP BY i.doc_id, x.gid // 64
+    ),
     inter AS (
-        -- the size-ratio predicate is lossless for the J >= 0.55 output
-        -- (J >= t implies t*|A| <= |B| <= |A|/t); it prunes the group-by
-        -- input of the otherwise-quadratic inverted-index self-join
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM inv a JOIN inv b
-          ON a.g = b.g AND a.doc_id < b.doc_id
-         AND b.n >= ceil(0.55 * a.n) AND b.n <= floor(a.n / 0.55)
+        SELECT c.doc_a, c.doc_b,
+               any_value(wa.n) AS na, any_value(wb.n) AS nb,
+               sum(bit_count(wa.w & wb.w)) AS n_inter
+        FROM cands c
+        JOIN words wa ON wa.doc_id = c.doc_a
+        JOIN words wb ON wb.doc_id = c.doc_b AND wb.chunk = wa.chunk
         GROUP BY 1, 2
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(CAST(i.n_inter AS DOUBLE)
-                / (len(ga.gs) + len(gb.gs) - i.n_inter) AS REAL) AS jaccard
-    FROM inter i
-    JOIN grams ga ON ga.doc_id = i.doc_a
-    JOIN grams gb ON gb.doc_id = i.doc_b
-    WHERE CAST(i.n_inter AS DOUBLE) / (len(ga.gs) + len(gb.gs) - i.n_inter)
-          >= 0.55
+    SELECT doc_a, doc_b,
+           CAST(CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS REAL)
+               AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.55
     ORDER BY doc_a, doc_b
     """,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard near-dup pairs (J ≥ 0.55) via an
     inverted-index join: explode distinct grams, join docs sharing a
-    gram, count intersections, |A∪B| from set sizes. The join fans out
-    per shared gram — at 100 TB, cap gram document-frequency (drop
-    grams appearing in >X% of docs) to bound the skew.
+    gram, count intersections, |A∪B| from set sizes.
 
     Measured profile at sf0.1 (5,000 docs, 2,041-gram vocabulary):
-    the PPJoin prefix filter yields 7.4M candidates (59% of
-    all-pairs) — a synthetic-corpus pathology (every doc shares its
-    rare grams with many others because the vocabulary is tiny), so
-    the candidate `distinct()` shuffle dominates (~7 s of ~12 s
-    total) and the bitmap refine handles the volume in bit ops. On a
-    natural corpus (vocabulary ~ corpus size) the same prefix filter
-    is what makes this op sub-quadratic; the shape, not the fixture
-    timing, is the 100 TB story.
+    the full PPJoin candidate stage — prefix filter + size-ordered
+    roles (short 2t/(1+t) probing prefix on the smaller side) +
+    positional filter — yields 5.4M candidates, down from 7.4M with
+    the prefix alone but still 43% of all-pairs: a synthetic-corpus
+    pathology (every doc shares rare grams with many others because
+    the vocabulary is tiny; the 256 true pairs are informationally
+    indistinguishable at the single-shared-gram level), so the
+    bitmap refine handles the volume in bit ops and the engine runs
+    ~26 s (was ~52 s before the round-6 role/positional/int-key
+    additions). On a natural corpus (vocabulary ~ corpus size) the
+    same candidate stage is what makes this op sub-quadratic; the
+    shape, not the fixture timing, is the 100 TB story.
 
     Core: api.jaccard_pairs (column-parameterized; PPJoin prefix +
-    size-ratio candidates, api.bitmap_sets refine)."""
+    size-ratio + positional candidates, api.bitmap_sets refine)."""
     from hadoop_deliver_spark.api import jaccard_pairs
 
     d = tbl(spark, sf_dir, "documents")

@@ -29,7 +29,7 @@ timings = {}
 t0 = time.time()
 for name in sorted(q):
     tq = time.time()
-    t_oracle = t_cmp = 0.0
+    t_spark = t_oracle = t_cmp = t_other = 0.0
     try:
         spdf = q[name](spark, sf).toPandas()
         t_spark = time.time() - tq
@@ -44,12 +44,17 @@ for name in sorted(q):
             n_rowsonly += 1
     except Exception as e:
         fails.append((name, str(e)[:200]))
-        t_spark = time.time() - tq
+        # t_spark was captured right after toPandas() (0.0 if the
+        # failure was inside it); the residual is oracle/compare/
+        # traceback time, recorded as "other" so engine cost is never
+        # conflated with harness cost even on a failing entry
+        t_other = time.time() - tq - t_spark - t_oracle - t_cmp
     timings[name] = {
         "total": round(time.time() - tq, 3),
         "spark": round(t_spark, 3),
         "oracle": round(t_oracle, 3),
         "compare": round(t_cmp, 3),
+        "other": round(t_other, 3),
     }
 print(f"FULL DRIVER-SIM: {n_match} hash-match + {n_rowsonly} rows-only "
       f"of {len(q)} | fails={len(fails)} | {round(time.time()-t0,1)}s")

@@ -202,6 +202,10 @@ _NESTED_LOOP_OK = {
     # literal-array version was a driver-collect scale bug (see the
     # operator docstring), the broadcast NLJ is the honest shape
     "llm_knn_classify",
+    # same exact-kNN probe-pass argument as llm_knn_classify: the 1%
+    # probe DataFrame is broadcast (was a collect-to-plan-literals
+    # scale bug through round 5 — see the operator docstring)
+    "llm_sim_bruteforce",
     # 1-row corpus-max bounds broadcast for censoring (the
     # ts_resample_gapfill pattern)
     "events_survival_km",
@@ -865,8 +869,10 @@ _COLLECT_OK = {
     ("extras2.py", "scan_recursive_glob"),
     # range-partition boundary probe (bounded by #partitions)
     ("fnx2.py", "sink_range_partitioned"),
-    # probe set broadcast-small BY CONTRACT (1% fixed sample)
-    ("llm.py", "llm_sim_bruteforce"),
+    # 1-row .first() scalar probes: max gram/node id for bitmap width
+    ("api.py", "jaccard_pairs"),
+    ("api.py", "containment_pairs"),
+    ("api.py", "triangle_count"),
     # ≤ |event_type|² transition matrix (domain bound, not data
     # bound) — the 5-step recurrence runs driver-side over ≤25 cells
     ("wave14.py", "events_markov_reach"),
@@ -877,12 +883,15 @@ _COLLECT_OK = {
 
 
 def test_no_unjustified_driver_collects():
-    """Static scale guard #4: every .collect() inside the engine
-    package must be on the justified allowlist above — the '100 TB
-    story' is that operators never materialize data on the driver,
-    only bounded scalar/split probes. A regression like round 4's
-    llm_knn_classify (collecting a corpus FRACTION into plan literals)
-    adds a new (file, function) site and fails here by name."""
+    """Static scale guard #4: every driver materialization inside the
+    engine package — .collect(), and its equally-materializing kin
+    .toPandas()/.first()/.take()/.head() — must be on the justified
+    allowlist above; the '100 TB story' is that operators never
+    materialize data on the driver, only bounded scalar/split probes.
+    A regression like round 4's llm_knn_classify (collecting a corpus
+    FRACTION into plan literals) adds a new (file, function) site and
+    fails here by name. Calls on the receiver `F` are excluded:
+    F.first(...) is the WINDOW aggregate, not a driver action."""
     import ast
     import pathlib
 
@@ -902,11 +911,16 @@ def test_no_unjustified_driver_collects():
             visit_AsyncFunctionDef = visit_FunctionDef
 
             def visit_Call(self, node):
-                if (
-                    isinstance(node.func, ast.Attribute)
-                    and node.func.attr == "collect"
+                if isinstance(node.func, ast.Attribute) and node.func.attr in (
+                    "collect",
+                    "toPandas",
+                    "first",
+                    "take",
+                    "head",
                 ):
-                    sites.add((py.name, stack[-1] if stack else "<module>"))
+                    recv = node.func.value
+                    if not (isinstance(recv, ast.Name) and recv.id == "F"):
+                        sites.add((py.name, stack[-1] if stack else "<module>"))
                 self.generic_visit(node)
 
         V().visit(ast.parse(py.read_text()))
