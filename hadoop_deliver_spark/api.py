@@ -169,6 +169,35 @@ def minhash_pairs(
 
     >>> minhash_pairs(docs, "doc_id", "text", threshold=0.5)
     """
+    sets, cands = _minhash_parts(
+        df, id_col, text_col, shingle_k, n_perm, n_bands
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard"))
+    )
+
+
+def _minhash_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    n_perm: int,
+    n_bands: int,
+):
+    """Candidate stage of :func:`minhash_pairs`, shared with the
+    candidate-volume plan guard. Returns (sets, cands)."""
     assert n_perm >= 2 * n_bands, "need ≥2 minhash rows per band"
     rows = n_perm // n_bands
     # localCheckpoint, not cache(): the shingle sets are referenced by
@@ -220,20 +249,7 @@ def minhash_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard"))
-    )
+    return sets, cands
 
 
 def connected_components(
@@ -684,6 +700,49 @@ def jaccard_pairs(
     >>> jaccard_pairs(docs, "pk", "body", threshold=0.6)
     """
     t = threshold
+    grams, inv, gdf, cands = _jaccard_parts(df, id_col, text_col, t, char_k)
+    gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
+    max_gid = gid.agg(F.max("_jp_gid")).first()[0]
+    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
+    bitmaps = bitmap_sets(
+        inv.join(F.broadcast(gid), "_jp_g"),
+        [id_col, "_jp_n"],
+        "_jp_gid",
+        n_chunks,
+    )
+    ba = bitmaps.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_jp_n").alias("na"),
+        F.col("bm").alias("_jp_bm_a"),
+    )
+    bb = bitmaps.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_jp_n").alias("nb"),
+        F.col("bm").alias("_jp_bm_b"),
+    )
+    n_inter = bitmap_intersect_count("_jp_bm_a", "_jp_bm_b")
+    return (
+        cands.join(F.broadcast(ba), "id_a")
+        .join(F.broadcast(bb), "id_b")
+        .withColumn("_jp_ni", n_inter)
+        .withColumn(
+            "jaccard",
+            F.col("_jp_ni") / (F.col("na") + F.col("nb") - F.col("_jp_ni")),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select(
+            "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+        )
+    )
+
+
+def _jaccard_parts(
+    df: DataFrame, id_col: str, text_col: str, t: float, char_k: int
+):
+    """Candidate stage of :func:`jaccard_pairs`, shared with the
+    candidate-volume plan guard (tests/test_properties.py) so the
+    guard measures the REAL stage, not a replica. Returns
+    (grams, inv, gdf, cands)."""
     # localCheckpoint, not cache(): referenced by the lazily returned
     # plan (candidate stage + bitmap refine); checkpoint blocks are
     # released by the ContextCleaner on GC instead of pinning executor
@@ -756,39 +815,7 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
-    max_gid = gid.agg(F.max("_jp_gid")).first()[0]
-    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-    bitmaps = bitmap_sets(
-        inv.join(F.broadcast(gid), "_jp_g"),
-        [id_col, "_jp_n"],
-        "_jp_gid",
-        n_chunks,
-    )
-    ba = bitmaps.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_jp_n").alias("na"),
-        F.col("bm").alias("_jp_bm_a"),
-    )
-    bb = bitmaps.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_jp_n").alias("nb"),
-        F.col("bm").alias("_jp_bm_b"),
-    )
-    n_inter = bitmap_intersect_count("_jp_bm_a", "_jp_bm_b")
-    return (
-        cands.join(F.broadcast(ba), "id_a")
-        .join(F.broadcast(bb), "id_b")
-        .withColumn("_jp_ni", n_inter)
-        .withColumn(
-            "jaccard",
-            F.col("_jp_ni") / (F.col("na") + F.col("nb") - F.col("_jp_ni")),
-        )
-        .filter(F.col("jaccard") >= t)
-        .select(
-            "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
-        )
-    )
+    return grams, inv, gdf, cands
 
 
 def containment_pairs(
@@ -820,30 +847,8 @@ def containment_pairs(
     >>> containment_pairs(docs, "pk", "body", threshold=0.9)
     """
     t = threshold
-    # localCheckpoint, not cache() — same storage-lifecycle argument
-    # as jaccard_pairs/minhash_pairs
-    grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
-        eager=True
-    )
-    inv = grams.select(
-        id_col, F.size("gs").alias("_cp_n"), F.explode("gs").alias("_cp_g")
-    )
-    gdf = inv.groupBy("_cp_g").agg(F.count(F.lit(1)).alias("_cp_gdf"))
-    wg = Window.partitionBy(id_col).orderBy("_cp_gdf", "_cp_g")
-    prefix = (
-        inv.join(F.broadcast(gdf), "_cp_g")
-        .withColumn("_cp_rk", F.row_number().over(wg))
-        .filter(
-            F.col("_cp_rk") <= F.ceil(F.lit(1.0 - t) * F.col("_cp_n")) + 2
-        )
-        .select(F.col(id_col).alias("inner_id"), "_cp_g")
-    )
-    full_b = inv.select(F.col(id_col).alias("outer_id"), "_cp_g")
-    cands = (
-        prefix.join(full_b, "_cp_g")
-        .where(F.col("inner_id") != F.col("outer_id"))
-        .select("inner_id", "outer_id")
-        .distinct()
+    grams, inv, gdf, cands = _containment_parts(
+        df, id_col, text_col, t, char_k
     )
     gid = encode_ids(gdf, "_cp_g", out="_cp_gid")
     max_gid = gid.agg(F.max("_cp_gid")).first()[0]
@@ -893,6 +898,39 @@ def containment_pairs(
         )
         .select("inner_id", "outer_id", "containment")
     )
+
+
+def _containment_parts(
+    df: DataFrame, id_col: str, text_col: str, t: float, char_k: int
+):
+    """Candidate stage of :func:`containment_pairs`, shared with the
+    candidate-volume plan guard. Returns (grams, inv, gdf, cands)."""
+    # localCheckpoint, not cache() — same storage-lifecycle argument
+    # as jaccard_pairs/minhash_pairs
+    grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
+        eager=True
+    )
+    inv = grams.select(
+        id_col, F.size("gs").alias("_cp_n"), F.explode("gs").alias("_cp_g")
+    )
+    gdf = inv.groupBy("_cp_g").agg(F.count(F.lit(1)).alias("_cp_gdf"))
+    wg = Window.partitionBy(id_col).orderBy("_cp_gdf", "_cp_g")
+    prefix = (
+        inv.join(F.broadcast(gdf), "_cp_g")
+        .withColumn("_cp_rk", F.row_number().over(wg))
+        .filter(
+            F.col("_cp_rk") <= F.ceil(F.lit(1.0 - t) * F.col("_cp_n")) + 2
+        )
+        .select(F.col(id_col).alias("inner_id"), "_cp_g")
+    )
+    full_b = inv.select(F.col(id_col).alias("outer_id"), "_cp_g")
+    cands = (
+        prefix.join(full_b, "_cp_g")
+        .where(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    return grams, inv, gdf, cands
 
 
 def concurrency_sweep(
@@ -1130,6 +1168,23 @@ def simhash_pairs(
 
     >>> simhash_pairs(docs, "pk", "body", hamming_max=6)
     """
+    cands = _simhash_parts(df, id_col, text_col, n_bands)
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sh_fp_a").bitwiseXOR(F.col("_sh_fp_b"))),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_parts(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int
+) -> DataFrame:
+    """Candidate stage of :func:`simhash_pairs` (band-equality join,
+    pre-Hamming refine), shared with the candidate-volume plan
+    guard."""
     assert 64 % n_bands == 0, "band width must divide 64"
     width = 64 // n_bands
     mask = (1 << width) - 1
@@ -1198,14 +1253,7 @@ def simhash_pairs(
         .select("id_a", "id_b", "_sh_fp_a", "_sh_fp_b")
         .distinct()
     )
-    return (
-        cands.withColumn(
-            "hamming",
-            F.bit_count(F.col("_sh_fp_a").bitwiseXOR(F.col("_sh_fp_b"))),
-        )
-        .filter(F.col("hamming") <= hamming_max)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cands
 
 
 # --------------------------------------------------------------------------

@@ -91,8 +91,9 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     is surfaced as a scalar probe — extracted value, surviving-entry
     count, zipped sum, joined keys — that the oracle recomputes from
     the raw columns, the fn_map contract extended to the HOF family.
-    Map-only projection."""
-    li = tbl(spark, sf_dir, "lineitem")
+    Map-only projection; sort-before-project (global order preserved,
+    sampler/sort touch only the scan)."""
+    li = tbl(spark, sf_dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
     mq = F.create_map(F.lit("qty"), F.col("l_quantity"))
     md = F.create_map(F.lit("qty"), F.col("l_discount"))
     doubled = F.transform_values(mq, lambda k, v: v * 2)
@@ -108,7 +109,7 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(big).alias("n_big_disc"),
         F.element_at(zipped, F.lit("qty")).alias("zipped_sum"),
         F.array_join(F.map_keys(upper), ",").alias("upper_keys"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(

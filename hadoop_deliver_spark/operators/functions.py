@@ -146,7 +146,10 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day/hour extraction + date_trunc/trunc (runs on the
     ns-shimmed events timestamps)."""
-    ev = tbl(spark, sf_dir, "events")
+    # sort-before-project: global order preserved through the narrow
+    # map-side projection, but the range sampler and sort touch only
+    # the scan instead of re-evaluating the projected expressions
+    ev = tbl(spark, sf_dir, "events").orderBy("event_id")
     return ev.select(
         "event_id",
         F.year("ts").cast("long").alias("y"),
@@ -155,7 +158,7 @@ def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("h"),
         F.date_trunc("hour", "ts").alias("ts_hour"),
         F.date_trunc("month", "ts").alias("month_start"),
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -170,8 +173,9 @@ def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """date_add/date_sub/datediff/make_date."""
-    o = tbl(spark, sf_dir, "orders")
+    """date_add/date_sub/datediff/make_date. Sort-before-project (see
+    fn_date_extract)."""
+    o = tbl(spark, sf_dir, "orders").orderBy("o_orderkey")
     return o.select(
         "o_orderkey",
         F.date_add("o_orderdate", 7).cast("timestamp").alias("ship_by"),
@@ -182,7 +186,7 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.lit(1995), F.lit(1), F.lit(1))
         .cast("timestamp")
         .alias("epoch_date"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -205,8 +209,9 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_date_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_date/to_timestamp string parsing + unix epoch round-trips
-    (UTC session timezone keeps both engines on the same wall clock)."""
-    o = tbl(spark, sf_dir, "orders")
+    (UTC session timezone keeps both engines on the same wall clock).
+    Sort-before-project (see fn_date_extract)."""
+    o = tbl(spark, sf_dir, "orders").orderBy("o_orderkey")
     t = o.select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").cast("string").alias("d_str"),
@@ -220,7 +225,7 @@ def fn_date_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_unixtime(F.unix_timestamp("o_orderdate") + 86400)
         .cast("timestamp")
         .alias("next_day_ts"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -241,8 +246,9 @@ def fn_date_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """abs/round/ceil/floor/sqrt/exp/log/pow/greatest/least."""
-    li = tbl(spark, sf_dir, "lineitem")
+    """abs/round/ceil/floor/sqrt/exp/log/pow/greatest/least.
+    Sort-before-project (see fn_date_extract)."""
+    li = tbl(spark, sf_dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -260,7 +266,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("l_quantity", F.col("l_extendedprice") / 1000)
         .cast("float")
         .alias("l"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(
@@ -277,8 +283,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """coalesce/nvl/nullif/isnan/isnull/try_divide (try_divide by the
-    derived zero yields NULL — matched by /nullif(0) in the oracle)."""
-    li = tbl(spark, sf_dir, "lineitem")
+    derived zero yields NULL — matched by /nullif(0) in the oracle).
+    Sort-before-project (see fn_date_extract)."""
+    li = tbl(spark, sf_dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -291,7 +298,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             "l_extendedprice", F.col("l_quantity") - F.col("l_quantity")
         ).alias("div_by_zero"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(
@@ -549,8 +556,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_map / element_at / map_keys / map_entries /
     map_from_entries round-trip. The oracle recomputes the expected
     scalars directly (DuckDB map extraction returns lists — different
-    shape, same information)."""
-    li = tbl(spark, sf_dir, "lineitem")
+    shape, same information). Sort-before-project (see
+    fn_date_extract)."""
+    li = tbl(spark, sf_dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
     m = F.create_map(
         F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
     )
@@ -565,7 +573,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.map_values(m), F.lit(0.0), lambda acc, x: acc + x).alias(
             "entries_sum"
         ),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(
@@ -581,8 +589,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object / from_json / to_json / json_tuple over the
-    semi-structured events.props column."""
-    ev = tbl(spark, sf_dir, "events")
+    semi-structured events.props column. Sort-before-project (see
+    fn_date_extract)."""
+    ev = tbl(spark, sf_dir, "events").orderBy("event_id")
     parsed = F.from_json("props", "struct<k:int>")
     return (
         ev.select(
@@ -592,7 +601,6 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("repacked"),
             F.json_tuple("props", "k").alias("k_tuple"),
         )
-        .orderBy("event_id")
     )
 
 

@@ -66,14 +66,16 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expression projection via selectExpr. (Money expressions are
-    surfaced as float32 — see the module float policy.)"""
-    li = tbl(spark, sf_dir, "lineitem")
+    surfaced as float32 — see the module float policy.) Sort-before-
+    project: global order preserved, sampler/sort touch only the
+    scan."""
+    li = tbl(spark, sf_dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
     return li.selectExpr(
         "l_orderkey",
         "l_linenumber",
         "CAST(l_extendedprice * (1 - l_discount) AS FLOAT) AS revenue",
         "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS FLOAT) AS charged",
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(

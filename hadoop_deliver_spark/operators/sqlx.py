@@ -133,7 +133,9 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards for ÷0, and BIGINT arithmetic followed by TRY_CAST back
     to int32 — which nulls exactly the rows Spark's int32 overflow
     nulls."""
-    e = tbl(spark, sf_dir, "events")
+    # sort-before-project: global order preserved; the range sampler
+    # and sort touch only the scan, not the try_* expressions
+    e = tbl(spark, sf_dir, "events").orderBy("event_id")
     eid = F.col("event_id")
     return e.select(
         "event_id",
@@ -151,7 +153,7 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("id-"), F.col("event_type")))
         .try_cast("bigint")
         .alias("parsed_id"),
-    ).orderBy("event_id")
+    )
 
 
 @register(

@@ -928,3 +928,39 @@ def test_no_unjustified_driver_collects():
     assert not rogue, f"unjustified driver collect in: {sorted(rogue)}"
     gone = _COLLECT_OK - sites
     assert not gone, f"stale allowlist entries (update _COLLECT_OK): {sorted(gone)}"
+
+
+def test_candidate_volume_bounds(spark, sf_dir):
+    """Dynamic scale guard #5: the three standing plan sweeps catch
+    NLJ/window/collect regressions but not a QUADRATIC CANDIDATE
+    EXPLOSION hiding behind an equi-join — the ngram-jaccard failure
+    mode (round 5 measured 59% of all-pairs through a formally
+    correct prefix filter). This guard runs the REAL candidate stages
+    (api._*_parts, the same code the operators execute) on the fixture
+    corpus and asserts candidate-to-all-pairs ratios. Bounds are
+    calibrated to the synthetic fixture's worst case (tiny 2k-gram
+    vocabulary — a near-adversarial corpus for prefix filtering) with
+    headroom for noise, and are regression alarms, not aspirations:
+    losing the positional filter (jaccard 0.43→0.60), breaking the
+    minhash banding (identical permutations → all docs share buckets),
+    or widening a simhash band blows the corresponding bound."""
+    from hadoop_deliver_spark import api
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    n = docs.count()
+    allp = n * (n - 1) / 2
+    _, _, _, jc = api._jaccard_parts(docs, "doc_id", "text", 0.55, 5)
+    r = jc.count() / allp
+    assert r <= 0.50, f"jaccard candidate blowup: {r:.3f} of all-pairs"
+    _, _, _, cc = api._containment_parts(docs, "doc_id", "text", 0.85, 5)
+    r = cc.count() / (n * (n - 1))  # ordered (inner, outer) pairs
+    assert r <= 0.70, f"containment candidate blowup: {r:.3f} of ordered pairs"
+    _, mc = api._minhash_parts(docs, "doc_id", "text", 3, 128, 64)
+    r = mc.count() / allp
+    assert r <= 0.01, f"minhash candidate blowup: {r:.4f} of all-pairs"
+    sc = api._simhash_parts(docs, "doc_id", "text", 4)
+    r = sc.count() / allp
+    assert r <= 0.05, f"simhash candidate blowup: {r:.4f} of all-pairs"
