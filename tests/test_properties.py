@@ -250,6 +250,8 @@ _NESTED_LOOP_OK = {
     # two 1-row broadcasts over the 9-row digit table: the grand
     # total and the MAD
     "orders_benford",
+    # 1-row broadcasts: the 5-group pivot row and the tie scalar
+    "agg_kruskal_wallis",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -313,6 +315,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartitions are the 1-row cut/bounds/mean reduces;
     # the rank windows partition by block (api.exact_global_rank)
     "agg_trimmed_mean",
+    # the SinglePartitions are the 1-row pivot/tie reduces; the rank
+    # window partitions by block (api.exact_global_rank)
+    "agg_kruskal_wallis",
 }
 
 _plan_cache: dict[str, str] = {}
