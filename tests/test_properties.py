@@ -252,6 +252,10 @@ _NESTED_LOOP_OK = {
     "orders_benford",
     # 1-row broadcasts: the 5-group pivot row and the tie scalar
     "agg_kruskal_wallis",
+    # 1-row bigram-total broadcast; marginals join back by hash
+    "llm_pmi_collocations",
+    # 1-row grand-total broadcast; corpus/source joins are keyed
+    "llm_source_kl",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -318,6 +322,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartitions are the 1-row pivot/tie reduces; the rank
     # window partitions by block (api.exact_global_rank)
     "agg_kruskal_wallis",
+    # the SinglePartition is the 1-row regression reduce; both
+    # cumsum windows partition by block (api.exact_global_keyed_cumsum)
+    "llm_heaps_law",
 }
 
 _plan_cache: dict[str, str] = {}
