@@ -256,6 +256,8 @@ _NESTED_LOOP_OK = {
     "llm_pmi_collocations",
     # 1-row grand-total broadcast; corpus/source joins are keyed
     "llm_source_kl",
+    # 1-row transition-total broadcast; row totals join back by hash
+    "events_entropy_rate",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -325,6 +327,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition is the 1-row regression reduce; both
     # cumsum windows partition by block (api.exact_global_keyed_cumsum)
     "llm_heaps_law",
+    # the SinglePartition is the 1-row transition-total reduce; the
+    # lag window partitions by user_id
+    "events_entropy_rate",
 }
 
 _plan_cache: dict[str, str] = {}
