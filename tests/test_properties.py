@@ -258,6 +258,8 @@ _NESTED_LOOP_OK = {
     "llm_source_kl",
     # 1-row transition-total broadcast; row totals join back by hash
     "events_entropy_rate",
+    # 1-row token-total broadcast; count joins are keyed on w1/w2
+    "llm_jelinek_mercer",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
