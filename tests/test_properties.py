@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from hadoop_deliver_spark.tables import dec2, tbl
@@ -126,6 +128,55 @@ def test_ivf_recall_floor(spark, sf_dir):
     )
     got = set(zip(ivf.probe_id, ivf.neighbor_id))
     assert len(truth & got) / len(truth) >= 0.7
+
+
+def test_compression_ratio_detects_repetition(spark):
+    """Secondary check for the rows-only llm_compression_ratio: a
+    highly repetitive text must compress to a materially lower ratio
+    than a high-entropy one, the flag must fire exactly per its
+    cross-multiplied contract, and ratios stay in the sane (0, 1.2]
+    band (deflate adds a small header on incompressible input)."""
+    import zlib
+
+    rep = "spam and eggs " * 200
+    mixed = " ".join(f"w{i * 7919 % 104729}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, rep), (2, mixed)], "doc_id long, text string"
+    )
+    # rebuild the operator's exact column pipeline on a constructed
+    # frame (the fixture corpus has no adversarial repetition case)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def zlen(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    out = (
+        df.select(
+            "doc_id",
+            F.length("text").cast("long").alias("raw_bytes"),
+            zlen("text").alias("compressed_bytes"),
+        )
+        .withColumn(
+            "ratio",
+            F.col("compressed_bytes").cast("double") / F.col("raw_bytes"),
+        )
+        .withColumn(
+            "is_suspect",
+            F.col("compressed_bytes") * 10 < F.col("raw_bytes") * 3,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "ratio"] < 0.1 < out.loc[2, "ratio"]
+    assert bool(out.loc[1, "is_suspect"]) and not bool(out.loc[2, "is_suspect"])
+    assert (out.ratio > 0).all() and (out.ratio <= 1.2).all()
+    # the python-side ground truth matches the UDF exactly
+    assert out.loc[1, "compressed_bytes"] == len(
+        zlib.compress(rep.encode("utf-8"), 6)
+    )
 
 
 def test_plan_shapes(spark, sf_dir):
