@@ -311,6 +311,9 @@ _NESTED_LOOP_OK = {
     "events_entropy_rate",
     # 1-row token-total broadcast; count joins are keyed on w1/w2
     "llm_jelinek_mercer",
+    # 7-row lag-grid broadcast; the series join is keyed on the
+    # shifted day
+    "ts_cross_correlation",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
@@ -383,6 +386,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition is the 1-row transition-total reduce; the
     # lag window partitions by user_id
     "events_entropy_rate",
+    # the Holm rank/prefix-AND windows run over the m = |event_type|
+    # row table (domain-bounded at any corpus scale)
+    "events_holm_correction",
 }
 
 _plan_cache: dict[str, str] = {}
