@@ -314,6 +314,12 @@ _NESTED_LOOP_OK = {
     # 7-row lag-grid broadcast; the series join is keyed on the
     # shifted day
     "ts_cross_correlation",
+    # two 1-row broadcasts: the grand (n, s) totals pair
+    "agg_theil_decomposition",
+    # 1-row pooled-conversion broadcast over the segment table
+    "events_simpson_check",
+    # 7-row lag-grid broadcast (the ts_cross_correlation pattern)
+    "ts_ljung_box",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
