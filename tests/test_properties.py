@@ -320,6 +320,8 @@ _NESTED_LOOP_OK = {
     "events_simpson_check",
     # 7-row lag-grid broadcast (the ts_cross_correlation pattern)
     "ts_ljung_box",
+    # 1-row split-totals broadcast over the term-pivot table
+    "llm_split_divergence",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
