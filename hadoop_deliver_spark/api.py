@@ -1261,75 +1261,214 @@ def _simhash_parts(
 # --------------------------------------------------------------------------
 
 
-def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, tau: float
-) -> DataFrame:
-    """ALL pairs (id_a, id_b, cos float) with cosine ≥ tau — EXACT,
-    found via a lossless grid equi-join instead of an all-pairs cross
-    join. Vectors are array<double>.
+def _principal_directions(base: DataFrame, k: int):
+    """Top-k orthonormal directions of the unit-normalized vectors in
+    ``base`` (columns ``_cp_e`` array<double>, ``nrm``) — eigenvectors
+    of the UNCENTERED second-moment matrix E[v̂v̂ᵀ], the
+    variance-maximizing axes the grid and sum-of-squares prefilter of
+    :func:`cosine_pairs` project onto.
 
-    Each unit-normalized vector is projected on two fixed unit
-    directions; cos ≥ tau implies the normalized difference is within
-    δ = √(2−2τ), so qualifying pairs land in the same or an adjacent
-    grid cell of width δ·1.01 — a's cell is unique per vector, so each
-    pair matches exactly one of b's 9 replicas and no post-join dedup
-    is needed. The planner sees an ordinary hash equi-join on the cell
-    key; property tests assert grid == brute force on random vectors.
+    Distributed shape: a vectorized ``mapInPandas`` kernel emits one
+    partial d×d moment matrix per Arrow batch (numpy ``VᵀV`` — O(n·d²)
+    flops, all executor-side), partials are reduced by an ordinary
+    ``groupBy(pos).sum`` shuffle, and ONLY the d² reduced entries
+    (64-dim → 4,096 doubles) reach the driver for the eigh — bounded
+    by the vector width, never by the row count, so the same plan
+    holds at 100 TB. Rows with zero/non-finite norm are skipped (they
+    cannot join anyway — their cells are NULL). The direction CHOICE
+    only steers pruning power; correctness never depends on it
+    (Bessel holds for every orthonormal set), so float jitter in the
+    eigh is harmless. Returns a (k_eff, d) numpy array of orthonormal
+    rows, or None when the input is empty."""
+    import numpy as np
+    import pandas as pd
 
-    >>> cosine_pairs(emb, "vec_id", "embedding_f64", tau=0.9)
-    """
+    def moments(batches):
+        for pdf in batches:
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_cp_e"]]
+            )
+            if V.size == 0:
+                continue
+            n = np.linalg.norm(V, axis=1)
+            ok = np.isfinite(n) & (n > 0)
+            if not ok.any():
+                continue
+            Vn = V[ok] / n[ok, None]
+            M = Vn.T @ Vn
+            yield pd.DataFrame({"mom": [M.ravel().tolist()]})
+
+    partials = base.select("_cp_e").mapInPandas(moments, "mom array<double>")
+    reduced = (
+        partials.select(F.posexplode("mom").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        # bounded driver collect: exactly d² rows (the reduced moment
+        # matrix — 64-dim vectors → 4,096 doubles), independent of n
+        .collect()
+    )
+    if not reduced:
+        return None
+    flat = np.zeros(len(reduced))
+    for r in reduced:
+        flat[r["pos"]] = r["s"]
+    d = int(round(len(flat) ** 0.5))
+    M = flat.reshape(d, d)
+    w, U = np.linalg.eigh(M)
+    return np.ascontiguousarray(U[:, ::-1][:, : min(k, d)].T)
+
+
+def _cosine_parts(
+    df: DataFrame, id_col: str, vec_col: str, tau: float, k: int = 16
+):
+    """Candidate stage of :func:`cosine_pairs`, shared with the
+    candidate-volume plan guard (tests/test_properties.py) so the
+    guard measures the REAL stage, not a replica. Returns
+    (base, cands) where ``base`` is (_cp_id, _cp_e, nrm) and ``cands``
+    is the (id_a, id_b) pair set surviving the grid join and the
+    sum-of-squares prefilter — before any O(dim) dot product."""
     import math
 
     delta = math.sqrt(max(2.0 - 2.0 * tau, 1e-12))
     w = delta * 1.01
-    base = df.select(
-        F.col(id_col).alias("_cp_id"), F.col(vec_col).alias("_cp_e")
-    ).withColumn("nrm", vec_norm("_cp_e"))
-    d = F.sqrt(F.size("_cp_e").cast("double"))
-    p1 = F.aggregate("_cp_e", F.lit(0.0), lambda acc, v: acc + v) / (
-        F.col("nrm") * d
+    # float-slack margin on the Bessel bound: strictly MORE permissive
+    # than the exact inequality, so rounding in the projections can
+    # only add candidates (killed by the exact refine), never drop one
+    delta2 = (delta * delta) * (1.0 + 1e-9) + 1e-12
+    # localCheckpoint, not cache(): referenced by the moment pass, the
+    # candidate grid AND the verify join-back; checkpoint blocks are
+    # released by the ContextCleaner on GC instead of pinning executor
+    # storage for the session. Trade-off (documented in cosine_pairs):
+    # lineage is truncated, so losing an executor mid-query fails the
+    # query instead of recomputing the normalize step.
+    # hash-repartition by id BEFORE the checkpoint: the grid cell key
+    # has few distinct values on isotropic data (the whole corpus can
+    # land in a handful of cells), so downstream parallelism must come
+    # from the base partitioning, not the join key — one cheap shuffle
+    # of the narrow (id, vec) table spreads the moment pass, the
+    # cell-join probe side and both verify joins across the cluster
+    base = (
+        df.select(F.col(id_col).alias("_cp_id"), F.col(vec_col).alias("_cp_e"))
+        .repartition("_cp_id")
+        .withColumn("nrm", vec_norm("_cp_e"))
+        .localCheckpoint(eager=True)
     )
-    p2 = F.aggregate(
-        F.transform(
-            "_cp_e",
-            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / (F.col("nrm") * d)
-    cells = (
-        base.withColumn("p1", p1)
-        .withColumn("p2", p2)
-        .withColumn("c1", F.floor(F.col("p1") / w).cast("int"))
-        .withColumn("c2", F.floor(F.col("p2") / w).cast("int"))
+    U = _principal_directions(base, k)
+    if U is None:
+        U = [[1.0]]  # empty input: any direction works on zero rows
+    dirs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in U]
+    )
+    proj = F.transform(
+        dirs,
+        lambda u: F.aggregate(
+            F.zip_with("_cp_e", u, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.col("nrm"),
+    )
+    i2 = 1 if len(U) > 1 else 0
+    kk = len(U)
+    # the k projections are UNPACKED into scalar columns: the
+    # sum-of-squares compare below then stays inside whole-stage
+    # codegen (higher-order zip_with/aggregate are interpreted with a
+    # per-row array alloc — ruinous at millions of join rows), and the
+    # O(k·dim) projection itself is evaluated once per VECTOR, not per
+    # candidate
+    cells = base.withColumn("p", proj).select(
+        "_cp_id",
+        F.floor(F.col("p")[0] / w).cast("int").alias("c1"),
+        F.floor(F.col("p")[i2] / w).cast("int").alias("c2"),
+        *[F.col("p")[m].alias(f"_cp_p{m}") for m in range(kk)],
     )
     a = cells.select(
-        F.col("_cp_id").alias("id_a"), F.col("_cp_e").alias("ea"),
-        F.col("nrm").alias("na"), F.col("p1").alias("p1a"),
-        F.col("p2").alias("p2a"), "c1", "c2",
+        F.col("_cp_id").alias("id_a"),
+        "c1",
+        "c2",
+        *[F.col(f"_cp_p{m}").alias(f"_cp_a{m}") for m in range(kk)],
     )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
     b = (
         cells.withColumn("d1", F.explode(off))
         .withColumn("d2", F.explode(off))
         .select(
-            F.col("_cp_id").alias("id_b"), F.col("_cp_e").alias("eb"),
-            F.col("nrm").alias("nb"), F.col("p1").alias("p1b"),
-            F.col("p2").alias("p2b"),
+            F.col("_cp_id").alias("id_b"),
             (F.col("c1") + F.col("d1")).alias("c1"),
             (F.col("c2") + F.col("d2")).alias("c2"),
+            *[F.col(f"_cp_p{m}").alias(f"_cp_b{m}") for m in range(kk)],
         )
     )
-    # projection-distance prefilter: the same 1-Lipschitz bound that
-    # justifies the grid (|⟨â−b̂,u⟩| ≤ ‖â−b̂‖ ≤ δ), two scalar compares
-    # before the O(dim) dot product
-    return (
+    # sum-of-squares prefilter: for ANY orthonormal {u_m}, Bessel gives
+    # Σ_m ⟨â−b̂,u_m⟩² ≤ ‖â−b̂‖² ≤ δ², so a qualifying pair can never
+    # exceed δ² across the k projection axes — one codegen'd O(k)
+    # compare per join row (ids + k doubles, no vectors travel through
+    # the join)
+    diffs = [
+        (F.col(f"_cp_a{m}") - F.col(f"_cp_b{m}"))
+        * (F.col(f"_cp_a{m}") - F.col(f"_cp_b{m}"))
+        for m in range(kk)
+    ]
+    sos = diffs[0]
+    for dterm in diffs[1:]:
+        sos = sos + dterm
+    cands = (
         a.join(b, ["c1", "c2"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("p1a") - F.col("p1b")) <= delta)
-            & (F.abs(F.col("p2a") - F.col("p2b")) <= delta)
-        )
+        .filter((F.col("id_a") < F.col("id_b")) & (sos <= F.lit(delta2)))
+        .select("id_a", "id_b")
+    )
+    return base, cands
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, tau: float, *, k: int = 16
+) -> DataFrame:
+    """ALL pairs (id_a, id_b, cos float) with cosine ≥ tau — EXACT,
+    found via a lossless grid equi-join plus a k-projection
+    sum-of-squares prefilter instead of an all-pairs cross join.
+    Vectors are array<double>.
+
+    Math: cos ≥ τ ⇔ the unit-normalized difference is within
+    δ = √(2−2τ). Each vector is projected onto the top-``k``
+    data-dependent orthonormal directions (eigenvectors of the
+    distributed second-moment matrix — :func:`_principal_directions`);
+    the two highest-variance axes grid the space (cell width δ·1.01,
+    3×3 neighbor replication of one side — a's cell is unique per
+    vector, so each pair matches exactly one of b's 9 replicas and no
+    post-join dedup is needed), and Bessel's inequality
+    Σ_m ⟨â−b̂,u_m⟩² ≤ ‖â−b̂‖² ≤ δ² prunes join rows with an O(k)
+    compare BEFORE any O(dim) work: each extra orthonormal axis
+    multiplies pruning (random 64-dim pairs at τ=0.9 pass a 2-axis
+    test ~84% of the time but a 16-axis test ~0.1%). Only surviving
+    (id_a, id_b) pairs re-join the vector table for the exact dot
+    product, so the candidate join shuffles ids + k floats, never the
+    vectors. Property tests assert grid == brute force on random
+    vectors; the candidate-volume guard bounds survivors on the
+    fixture corpus.
+
+    Driver-side state: one bounded collect of the d² reduced moment
+    entries (NOT data rows — see :func:`_principal_directions`).
+    Fault-tolerance note: the normalized base is localCheckpoint-ed
+    (lineage truncated, storage GC-managed); an executor loss mid-query
+    fails the query rather than recomputing — at 100 TB prefer an
+    upstream materialized normalize step if recomputation matters.
+
+    >>> cosine_pairs(emb, "vec_id", "embedding_f64", tau=0.9)
+    """
+    base, cands = _cosine_parts(df, id_col, vec_col, tau, k)
+    va = base.select(
+        F.col("_cp_id").alias("id_a"),
+        F.col("_cp_e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = base.select(
+        F.col("_cp_id").alias("id_b"),
+        F.col("_cp_e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= F.lit(tau))
         .select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))

@@ -957,6 +957,9 @@ _COLLECT_OK = {
     ("api.py", "jaccard_pairs"),
     ("api.py", "containment_pairs"),
     ("api.py", "triangle_count"),
+    # d² reduced moment entries (64-dim → 4,096 doubles) — bounded by
+    # vector width, never row count (cosine_pairs direction finding)
+    ("api.py", "_principal_directions"),
     # ≤ |event_type|² transition matrix (domain bound, not data
     # bound) — the 5-step recurrence runs driver-side over ≤25 cells
     ("wave14.py", "events_markov_reach"),
@@ -1048,3 +1051,14 @@ def test_candidate_volume_bounds(spark, sf_dir):
     sc = api._simhash_parts(docs, "doc_id", "text", 4)
     r = sc.count() / allp
     assert r <= 0.05, f"simhash candidate blowup: {r:.4f} of all-pairs"
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    ne = emb.count()
+    _, ec = api._cosine_parts(emb, "vec_id", "e", 0.9)
+    r = ec.count() / (ne * (ne - 1) / 2)
+    assert r <= 0.05, f"cosine candidate blowup: {r:.4f} of all-pairs"
