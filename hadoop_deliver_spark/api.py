@@ -659,6 +659,15 @@ def char_gram_sets(
     )
 
 
+#: refine-path switch for :func:`jaccard_pairs` / :func:`containment_pairs`
+#: ("auto" mode): the dense bitmap table is |corpus| × ⌈|vocab|/64⌉
+#: longs and is BROADCAST — safe only while that product stays small.
+#: 2²² longs = 32 MiB; past it, auto switches to shuffle joins +
+#: array intersection (no broadcast, no dense bitmaps — the
+#: web-scale path).
+_BITMAP_REFINE_MAX_WORDS = 1 << 22
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -666,6 +675,7 @@ def jaccard_pairs(
     *,
     threshold: float = 0.55,
     char_k: int = 5,
+    refine: str = "auto",
 ) -> DataFrame:
     """EXACT character-k-gram Jaccard near-dup pairs
     (id_a, id_b, jaccard float) with J ≥ threshold — the
@@ -686,46 +696,92 @@ def jaccard_pairs(
     this gram only if u/(|A|+|B|−u) ≥ t. Lossless because the FIRST
     shared gram (in the global order) of a truly-similar pair sits
     at rank ≤ |x|−α+1 in both sets (α = required overlap), where the
-    bound passes; float-division monotonicity makes the float compare
-    exactly as permissive as the refine's. The exact refine runs on
-    dictionary-encoded bitmaps (:func:`bitmap_sets` —
-    Σ bit_count(a&b) per pair, codegen'd). Driver-side state: one
-    scalar collect (max gram id). The bitmap table is
-    |corpus| × |vocab|/64 longs and is broadcast — the
-    dense-small-vocabulary fast path; for a natural web-scale corpus
-    (vocab ~ corpus) swap the two broadcast joins for shuffle joins
-    and the refine for sorted-array intersection; the candidate
-    stages are unchanged and remain the sub-quadratic story.
+    bound passes; the compare uses the SAME division form as the
+    refine, so it is exactly as permissive — not an ulp tighter. The
+    exact refine has TWO interchangeable physical paths (both exact;
+    ``refine=`` picks "bitmap" / "shuffle" / "auto"):
+
+    - **bitmap** — dictionary-encoded dense bitmaps
+      (:func:`bitmap_sets`, Σ bit_count(a&b) per pair, codegen'd),
+      broadcast to every candidate partition. The bitmap table is
+      |corpus| × ⌈|vocab|/64⌉ longs: unbeatable while that fits an
+      executor (small vocab / modest corpus), fatal past it.
+    - **shuffle** — the web-scale path: candidates shuffle-join the
+      gram-set table on each side and intersect the two gram ARRAYS
+      directly (``array_intersect`` — hash set intersection, no dense
+      bitmaps, no broadcast, nothing driver- or executor-resident
+      scales with the corpus).
+
+    "auto" measures |corpus| × ⌈|vocab|/64⌉ against
+    :data:`_BITMAP_REFINE_MAX_WORDS` (32 MiB of longs) and picks;
+    both paths are pinned exact by the parametrized property fuzz.
+    Driver-side state: two scalar collects (max gram id, corpus
+    count). The candidate stages are identical under every refine and
+    remain the sub-quadratic story.
 
     >>> jaccard_pairs(docs, "pk", "body", threshold=0.6)
     """
     t = threshold
     grams, inv, gdf, cands = _jaccard_parts(df, id_col, text_col, t, char_k)
-    gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
-    max_gid = gid.agg(F.max("_jp_gid")).first()[0]
-    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-    bitmaps = bitmap_sets(
-        inv.join(F.broadcast(gid), "_jp_g"),
-        [id_col, "_jp_n"],
-        "_jp_gid",
-        n_chunks,
-    )
-    ba = bitmaps.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_jp_n").alias("na"),
-        F.col("bm").alias("_jp_bm_a"),
-    )
-    bb = bitmaps.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_jp_n").alias("nb"),
-        F.col("bm").alias("_jp_bm_b"),
-    )
-    n_inter = bitmap_intersect_count("_jp_bm_a", "_jp_bm_b")
+    if refine not in ("auto", "bitmap", "shuffle"):
+        raise ValueError(f"refine must be auto|bitmap|shuffle, got {refine!r}")
+    if refine == "auto":
+        gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
+        max_gid = gid.agg(F.max("_jp_gid")).first()[0]
+        n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
+        refine = (
+            "bitmap"
+            if grams.count() * n_chunks <= _BITMAP_REFINE_MAX_WORDS
+            else "shuffle"
+        )
+    elif refine == "bitmap":
+        gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
+        max_gid = gid.agg(F.max("_jp_gid")).first()[0]
+        n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
+    if refine == "bitmap":
+        bitmaps = bitmap_sets(
+            inv.join(F.broadcast(gid), "_jp_g"),
+            [id_col, "_jp_n"],
+            "_jp_gid",
+            n_chunks,
+        )
+        ba = bitmaps.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_jp_n").alias("na"),
+            F.col("bm").alias("_jp_bm_a"),
+        )
+        bb = bitmaps.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_jp_n").alias("nb"),
+            F.col("bm").alias("_jp_bm_b"),
+        )
+        scored = (
+            cands.join(F.broadcast(ba), "id_a")
+            .join(F.broadcast(bb), "id_b")
+            .withColumn(
+                "_jp_ni", bitmap_intersect_count("_jp_bm_a", "_jp_bm_b")
+            )
+        )
+    else:
+        ga = grams.select(
+            F.col(id_col).alias("id_a"),
+            F.size("gs").alias("na"),
+            F.col("gs").alias("_jp_gs_a"),
+        )
+        gb = grams.select(
+            F.col(id_col).alias("id_b"),
+            F.size("gs").alias("nb"),
+            F.col("gs").alias("_jp_gs_b"),
+        )
+        scored = (
+            cands.join(ga, "id_a")
+            .join(gb, "id_b")
+            .withColumn(
+                "_jp_ni", F.size(F.array_intersect("_jp_gs_a", "_jp_gs_b"))
+            )
+        )
     return (
-        cands.join(F.broadcast(ba), "id_a")
-        .join(F.broadcast(bb), "id_b")
-        .withColumn("_jp_ni", n_inter)
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.col("_jp_ni") / (F.col("na") + F.col("nb") - F.col("_jp_ni")),
         )
@@ -793,9 +849,12 @@ def _jaccard_parts(
     )
     # positional overlap upper bound through THIS shared gram: the
     # first shared gram of a truly-qualifying pair sits at rank
-    # ≤ |x|−α+1 in both sets, where this bound provably passes;
-    # float-division monotonicity keeps the compare exactly as
-    # permissive as the refine's
+    # ≤ |x|−α+1 in both sets, where this bound provably passes. The
+    # compare uses the SAME division form as the refine's J ≥ t test
+    # (ub/(na+nb−ub) is monotone in the integer ub, so every overlap
+    # the refine would accept passes here) — a multiply form can
+    # disagree with the divide form by an ulp at exact-threshold
+    # pairs and silently prune a boundary pair
     ub = F.lit(1) + F.least(
         F.col("na") - F.col("_jp_rka"), F.col("nb") - F.col("_jp_rkb")
     )
@@ -807,7 +866,10 @@ def _jaccard_parts(
                 | ((F.col("nb") == F.col("na")) & (F.col("id_b") > F.col("id_a")))
             )
             & (F.col("nb") <= F.floor(F.col("na") / F.lit(t)))
-            & (ub >= F.lit(t) * (F.col("na") + F.col("nb") - ub))
+            & (
+                ub.cast("double") / (F.col("na") + F.col("nb") - ub)
+                >= F.lit(t)
+            )
         )
         .select(
             F.least("id_a", "id_b").alias("id_a"),
@@ -825,6 +887,7 @@ def containment_pairs(
     *,
     threshold: float = 0.85,
     char_k: int = 5,
+    refine: str = "auto",
 ) -> DataFrame:
     """EXACT character-k-gram containment pairs
     (inner_id, outer_id, containment float) with
@@ -838,11 +901,17 @@ def containment_pairs(
     one of its ⌈(1−t)·|A|⌉+1 rarest grams with B (if all of A's
     prefix grams miss B, fewer than t·|A| grams can intersect), so
     the inner side is prefix-pruned while the outer side keeps its
-    full posting list; exact refine on :func:`bitmap_sets` bitmaps.
-    Containment has NO upper size-ratio bound, so candidate fan-out
-    is larger than the Jaccard twin's — at corpus scale cap gram
-    document-frequency (drop grams in >X% of docs) or shard the
-    outer side. Driver-side state: one scalar collect (max gram id).
+    full posting list; exact refine via the same dual physical path
+    as :func:`jaccard_pairs` — broadcast :func:`bitmap_sets` bitmaps
+    while |corpus| × ⌈|vocab|/64⌉ longs fit
+    :data:`_BITMAP_REFINE_MAX_WORDS`, shuffle joins +
+    ``array_intersect`` past it (``refine=`` "auto"/"bitmap"/
+    "shuffle"; both paths pinned exact by the parametrized property
+    fuzz). Containment has NO upper size-ratio bound, so candidate
+    fan-out is larger than the Jaccard twin's — at corpus scale cap
+    gram document-frequency (drop grams in >X% of docs) or shard the
+    outer side. Driver-side state: two scalar collects (max gram id,
+    corpus count).
 
     >>> containment_pairs(docs, "pk", "body", threshold=0.9)
     """
@@ -850,26 +919,51 @@ def containment_pairs(
     grams, inv, gdf, cands = _containment_parts(
         df, id_col, text_col, t, char_k
     )
-    gid = encode_ids(gdf, "_cp_g", out="_cp_gid")
-    max_gid = gid.agg(F.max("_cp_gid")).first()[0]
-    n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-    bitmaps = bitmap_sets(
-        inv.join(F.broadcast(gid), "_cp_g"), id_col, "_cp_gid", n_chunks
-    )
-    ba = bitmaps.select(
-        F.col(id_col).alias("inner_id"), F.col("bm").alias("_cp_bm_a")
-    )
-    bb = bitmaps.select(
-        F.col(id_col).alias("outer_id"), F.col("bm").alias("_cp_bm_b")
-    )
-    inter = (
-        cands.join(F.broadcast(ba), "inner_id")
-        .join(F.broadcast(bb), "outer_id")
-        .withColumn(
-            "_cp_ni", bitmap_intersect_count("_cp_bm_a", "_cp_bm_b")
+    if refine not in ("auto", "bitmap", "shuffle"):
+        raise ValueError(f"refine must be auto|bitmap|shuffle, got {refine!r}")
+    if refine in ("auto", "bitmap"):
+        gid = encode_ids(gdf, "_cp_g", out="_cp_gid")
+        max_gid = gid.agg(F.max("_cp_gid")).first()[0]
+        n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
+        if refine == "auto":
+            refine = (
+                "bitmap"
+                if grams.count() * n_chunks <= _BITMAP_REFINE_MAX_WORDS
+                else "shuffle"
+            )
+    if refine == "bitmap":
+        bitmaps = bitmap_sets(
+            inv.join(F.broadcast(gid), "_cp_g"), id_col, "_cp_gid", n_chunks
         )
-        .select("inner_id", "outer_id", "_cp_ni")
-    )
+        ba = bitmaps.select(
+            F.col(id_col).alias("inner_id"), F.col("bm").alias("_cp_bm_a")
+        )
+        bb = bitmaps.select(
+            F.col(id_col).alias("outer_id"), F.col("bm").alias("_cp_bm_b")
+        )
+        inter = (
+            cands.join(F.broadcast(ba), "inner_id")
+            .join(F.broadcast(bb), "outer_id")
+            .withColumn(
+                "_cp_ni", bitmap_intersect_count("_cp_bm_a", "_cp_bm_b")
+            )
+            .select("inner_id", "outer_id", "_cp_ni")
+        )
+    else:
+        ga = grams.select(
+            F.col(id_col).alias("inner_id"), F.col("gs").alias("_cp_gs_a")
+        )
+        gb = grams.select(
+            F.col(id_col).alias("outer_id"), F.col("gs").alias("_cp_gs_b")
+        )
+        inter = (
+            cands.join(ga, "inner_id")
+            .join(gb, "outer_id")
+            .withColumn(
+                "_cp_ni", F.size(F.array_intersect("_cp_gs_a", "_cp_gs_b"))
+            )
+            .select("inner_id", "outer_id", "_cp_ni")
+        )
     sizes = grams.select(id_col, F.size("gs").alias("_cp_sz"))
     return (
         inter.join(

@@ -71,8 +71,8 @@ LANG_MARKERS = {
           ON a.g = b.g
          AND (b.n > a.n OR (b.n = a.n AND b.doc_id > a.doc_id))
          AND b.n <= floor(a.n / 0.55)
-         AND (1 + least(a.n - a.rk, b.n - b.rk))
-             >= 0.55 * (a.n + b.n - (1 + least(a.n - a.rk, b.n - b.rk)))
+         AND CAST(1 + least(a.n - a.rk, b.n - b.rk) AS DOUBLE)
+             / (a.n + b.n - (1 + least(a.n - a.rk, b.n - b.rk))) >= 0.55
     ),
     -- exact refine on 64-bit dictionary-coded bitmap words (the
     -- engine's bitmap_sets twin): O(vocab/64) AND+popcount per pair

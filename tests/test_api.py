@@ -7,6 +7,7 @@ ranking/grid cores by the fuzz suites.)"""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_deliver_spark import api
@@ -289,7 +290,8 @@ def test_bitmap_sets_intersect_count_matches_set_intersection(spark):
             assert got[(ka, kb)] == len(sets[ka] & sets[kb])
 
 
-def test_jaccard_pairs_exact_on_custom_columns(spark):
+@pytest.mark.parametrize("refine", ["auto", "bitmap", "shuffle"])
+def test_jaccard_pairs_exact_on_custom_columns(spark, refine):
     base = "abcdefghijklmnopqrstuvwxyz0123456789"
     near = base[:-2] + "xy"  # high 5-gram overlap
     other = "zzzzzyyyyyxxxxxwwwwwvvvvvuuuuutttttsssss"
@@ -297,7 +299,9 @@ def test_jaccard_pairs_exact_on_custom_columns(spark):
         [(7, base), (8, near), (9, other), (10, "tiny")],
         "pk long, body string",
     )
-    got = api.jaccard_pairs(df, "pk", "body", threshold=0.5, char_k=5).collect()
+    got = api.jaccard_pairs(
+        df, "pk", "body", threshold=0.5, char_k=5, refine=refine
+    ).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(7, 8)]
     # exact value: grams(base)=32, grams(near)=32, shared=30 -> 30/34
     import math
@@ -308,7 +312,8 @@ def test_jaccard_pairs_exact_on_custom_columns(spark):
     assert math.isclose(got[0].jaccard, inter / union, rel_tol=1e-6)
 
 
-def test_containment_pairs_finds_embedded_doc(spark):
+@pytest.mark.parametrize("refine", ["auto", "bitmap", "shuffle"])
+def test_containment_pairs_finds_embedded_doc(spark, refine):
     long_doc = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"
     short_doc = long_doc[5:25]  # wholly embedded substring
     other = "zzzzzyyyyyxxxxxwwwwwvvvvv"
@@ -316,7 +321,7 @@ def test_containment_pairs_finds_embedded_doc(spark):
         [(1, long_doc), (2, short_doc), (3, other)], "pk long, body string"
     )
     got = api.containment_pairs(
-        df, "pk", "body", threshold=0.9, char_k=5
+        df, "pk", "body", threshold=0.9, char_k=5, refine=refine
     ).collect()
     # short_doc's grams are all in long_doc -> containment 1.0
     assert [(r.inner_id, r.outer_id) for r in got] == [(2, 1)]

@@ -596,17 +596,20 @@ def test_triangle_count_equals_bruteforce_on_random_graphs(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     n_docs=st.integers(min_value=1, max_value=14),
     t=st.sampled_from([0.3, 0.55, 0.8]),
+    refine=st.sampled_from(["bitmap", "shuffle"]),
 )
 def test_jaccard_pairs_equals_bruteforce_on_random_texts(
-    spark, seed, n_docs, t
+    spark, seed, n_docs, t, refine
 ):
     """api.jaccard_pairs (PPJoin prefix + size-ratio candidates +
-    bitmap refine) must return EXACTLY the brute-force J >= t pairs.
-    Texts draw from a 2-letter alphabet with lengths straddling the
-    gram width (0..24 over k=5), so high-overlap sets, empty gram
-    sets, and threshold-boundary ratios all occur — probing the
-    losslessness of the prefix bound's ceiling arithmetic, which the
-    fixtures never stress."""
+    exact refine) must return EXACTLY the brute-force J >= t pairs —
+    via BOTH physical refine paths (broadcast bitmap AND-popcount,
+    and the web-scale shuffle-join array intersection), which must be
+    indistinguishable. Texts draw from a 2-letter alphabet with
+    lengths straddling the gram width (0..24 over k=5), so
+    high-overlap sets, empty gram sets, and threshold-boundary ratios
+    all occur — probing the losslessness of the prefix bound's
+    ceiling arithmetic, which the fixtures never stress."""
     import random
 
     from hadoop_deliver_spark import api
@@ -633,7 +636,60 @@ def test_jaccard_pairs_equals_bruteforce_on_random_texts(
     got = {
         (r.id_a, r.id_b): r.jaccard
         for r in api.jaccard_pairs(
-            df, "pk", "body", threshold=t, char_k=5
+            df, "pk", "body", threshold=t, char_k=5, refine=refine
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_docs=st.integers(min_value=1, max_value=12),
+    t=st.sampled_from([0.6, 0.85, 1.0]),
+    refine=st.sampled_from(["bitmap", "shuffle"]),
+)
+def test_containment_pairs_equals_bruteforce_on_random_texts(
+    spark, seed, n_docs, t, refine
+):
+    """api.containment_pairs (inner-side prefix filter + exact
+    refine) must return EXACTLY the brute-force C(A,B) >= t pairs for
+    A the smaller gram set (ties by id) — via BOTH physical refine
+    paths. Same adversarial 2-letter corpus as the Jaccard fuzz; also
+    exercises t=1.0 (strict containment) where the inner prefix is a
+    single rarest gram."""
+    import random
+
+    from hadoop_deliver_spark import api
+
+    rng = random.Random(seed)
+    texts = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 24))))
+        for i in range(n_docs)
+    ]
+
+    def grams(s):
+        return {s[i : i + 5] for i in range(len(s) - 4)} if len(s) >= 5 else set()
+
+    want = {}
+    for ia, ta in texts:
+        for ib, tb in texts:
+            ga, gb = grams(ta), grams(tb)
+            if ia == ib or not ga or not gb:
+                continue
+            inner = (len(ga) < len(gb)) or (len(ga) == len(gb) and ia < ib)
+            if not inner:
+                continue
+            c = len(ga & gb) / len(ga)  # same IEEE double as Spark
+            if c >= t:
+                want[(ia, ib)] = c
+    df = spark.createDataFrame(texts, "pk long, body string")
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in api.containment_pairs(
+            df, "pk", "body", threshold=t, char_k=5, refine=refine
         ).collect()
     }
     assert set(got) == set(want)
