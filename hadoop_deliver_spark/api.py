@@ -167,6 +167,14 @@ def minhash_pairs(
     shared expression (measured on 4.1.2), silently yielding
     ``n_perm`` identical permutations.
 
+    Fault-tolerance note: the shingle-set stage is
+    ``localCheckpoint``-ed (constructing the returned — otherwise
+    lazy — plan triggers an immediate job, and lineage is truncated
+    WITHOUT fault tolerance: losing an executor mid-query fails the
+    query instead of recomputing). At 100 TB, if recomputation-on-
+    loss matters, materialize the shingle stage to a table (or use
+    reliable ``checkpoint()``) and pass that in instead.
+
     >>> minhash_pairs(docs, "doc_id", "text", threshold=0.5)
     """
     sets, cands = _minhash_parts(
@@ -719,6 +727,13 @@ def jaccard_pairs(
     count). The candidate stages are identical under every refine and
     remain the sub-quadratic story.
 
+    Fault-tolerance note: the gram-set stage is
+    ``localCheckpoint``-ed (plan construction triggers an immediate
+    job; lineage is truncated WITHOUT fault tolerance — an executor
+    loss mid-query fails the query instead of recomputing). At
+    100 TB, if recomputation-on-loss matters, materialize the gram
+    stage to a table (or use reliable ``checkpoint()``) upstream.
+
     >>> jaccard_pairs(docs, "pk", "body", threshold=0.6)
     """
     t = threshold
@@ -911,7 +926,10 @@ def containment_pairs(
     fan-out is larger than the Jaccard twin's — at corpus scale cap
     gram document-frequency (drop grams in >X% of docs) or shard the
     outer side. Driver-side state: two scalar collects (max gram id,
-    corpus count).
+    corpus count). Fault-tolerance note: the gram-set stage is
+    ``localCheckpoint``-ed — same immediate-job / truncated-lineage
+    trade as :func:`jaccard_pairs`; materialize the gram stage
+    upstream if recomputation-on-loss matters.
 
     >>> containment_pairs(docs, "pk", "body", threshold=0.9)
     """

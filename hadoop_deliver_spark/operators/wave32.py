@@ -192,14 +192,18 @@ def llm_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Freeman degree centralization (Freeman 1979) of the part side
-    of the co-purchase graph: Σ(d_max − d_i) normalized by the star
-    graph's maximum — 1 means one hub part touches every customer
-    (a catalog dominated by a single staple), 0 a perfectly flat
-    degree profile; the single-number structure summary next to
-    graph_degree_stats' distribution view. Degrees, max, and the
-    deviation sum are exact int64 (Σ(dmax − d) = n·dmax − Σd); one
-    final division, round-6.
+    """Freeman-style degree centralization (after Freeman 1979) of
+    the part side of the co-purchase graph: Σ(d_max − d_i) divided by
+    the one-mode star-graph maximum (n−1)(n−2). NOTE the scale: in
+    this BIPARTITE projection a part's degree counts distinct
+    customers and is not bounded by n−1 (n = part count), so the
+    statistic is a RELATIVE hub-dominance index — higher means more
+    hub-dominated, 0 a perfectly flat degree profile — not a
+    [0,1]-bounded share as in the one-mode original (and n ≤ 2 yields
+    NULL via the zero denominator). The single-number structure
+    summary next to graph_degree_stats' distribution view. Degrees,
+    max, and the deviation sum are exact int64
+    (Σ(dmax − d) = n·dmax − Σd); one final division, round-6.
 
     Scale shape: deduped edge list, one keyed degree count, one
     1-row reduce."""

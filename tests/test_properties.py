@@ -1062,3 +1062,46 @@ def test_candidate_volume_bounds(spark, sf_dir):
     _, ec = api._cosine_parts(emb, "vec_id", "e", 0.9)
     r = ec.count() / (ne * (ne - 1) / 2)
     assert r <= 0.05, f"cosine candidate blowup: {r:.4f} of all-pairs"
+
+
+def test_sort_before_project_plan_shape(spark, sf_dir):
+    """Plan-shape guard #6 for the sort-before-project queries
+    (fn_date_extract, fn_map_hof, fn_try_arith): their hash-exact
+    comparison depends on Spark preserving row order through the
+    final narrow projection, which holds for today's Project→Sort→
+    Exchange(rangepartitioning) plans but is NOT a contractual
+    guarantee — an optimizer/AQE change that inserts an exchange (or
+    any reordering) ABOVE the Sort would silently break the
+    order-sensitive comparator. Assert the physical plan keeps the
+    global Sort as the last reordering step: a Project above the
+    Sort, and every Exchange strictly below it (round-6 advisor
+    ask — fail loudly instead of silently)."""
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    for name in ("fn_date_extract", "fn_map_hof", "fn_try_arith"):
+        plan = (
+            R[name].fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lines = plan.splitlines()
+        sort_i = next(
+            (i for i, l in enumerate(lines) if "- Sort [" in l), None
+        )
+        proj_i = next(
+            (i for i, l in enumerate(lines) if "Project [" in l), None
+        )
+        assert sort_i is not None and proj_i is not None, (
+            f"{name}: expected Project above a global Sort, plan:\n{plan}"
+        )
+        assert proj_i < sort_i, (
+            f"{name}: final Project is not above the Sort\n{plan}"
+        )
+        exchanges = [i for i, l in enumerate(lines) if "Exchange" in l]
+        assert all(i > sort_i for i in exchanges), (
+            f"{name}: an Exchange appears above the global Sort — row "
+            f"order through the final projection is no longer "
+            f"guaranteed\n{plan}"
+        )
