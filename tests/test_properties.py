@@ -245,6 +245,10 @@ _NESTED_LOOP_OK = {
     "join_cross",          # cross join by spec
     "join_theta_range",    # non-equi theta join by spec
     "llm_sim_ivf",         # 10-row centroid table broadcast
+    # recall summary composes llm_sim_ivf (centroid broadcast) with
+    # llm_sim_bruteforce (broadcast probe pass) — both already
+    # justified above / below; the composition adds no new NLJ
+    "llm_sim_ivf_recall",
     "ts_resample_gapfill", # 1-row min/max bounds broadcast for the grid
     "ts_interpolate_linear",  # same 1-row bounds broadcast as gapfill
     # exact-kNN probe pass: the probe DataFrame is broadcast-small by
@@ -397,6 +401,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the Holm rank/prefix-AND windows run over the m = |event_type|
     # row table (domain-bounded at any corpus scale)
     "events_holm_correction",
+    # recall summary composes llm_sim_ivf/llm_sim_bruteforce, whose
+    # top-k windows partition by probe_id; the SinglePartition is the
+    # 1-row final recall reduce
+    "llm_sim_ivf_recall",
 }
 
 _plan_cache: dict[str, str] = {}
