@@ -264,6 +264,9 @@ _NESTED_LOOP_OK = {
     # 1-row corpus-max bounds broadcast for censoring (the
     # ts_resample_gapfill pattern)
     "events_survival_km",
+    # 1-row exact-distinct aggregate broadcast next to the 1-row
+    # sketch estimate (the ts_resample_gapfill 1-row pattern)
+    "agg_hll_firstprin",
     # 1-row corpus-totals broadcast (T, R smoothing denominators);
     # the per-token lookup itself is a 128-row broadcast HASH join
     "llm_dsir_weights",
@@ -405,6 +408,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # top-k windows partition by probe_id; the SinglePartition is the
     # 1-row final recall reduce
     "llm_sim_ivf_recall",
+    # the BH rank/suffix-OR windows run over the m = |event_type|
+    # row table (domain-bounded — same argument as Holm's)
+    "events_bh_fdr",
 }
 
 _plan_cache: dict[str, str] = {}
