@@ -267,6 +267,36 @@ _NESTED_LOOP_OK = {
     # 1-row exact-distinct aggregate broadcast next to the 1-row
     # sketch estimate (the ts_resample_gapfill 1-row pattern)
     "agg_hll_firstprin",
+    # 1-row (n, total) corpus-size broadcast for the decile bucket
+    # arithmetic (the ts_resample_gapfill 1-row pattern)
+    "agg_lorenz_curve",
+    # 1-row (n, total) broadcast for the cross-multiplied |n·x − T|
+    # terms (the ts_resample_gapfill 1-row pattern)
+    "agg_hoover_index",
+    # 1-row digit-total broadcast next to the 9-row digit table (the
+    # ts_resample_gapfill 1-row pattern)
+    "events_benford_check",
+    # 1-row collected top-30-term array broadcast that explodes into
+    # the (source × term) grid (the ts_resample_gapfill 1-row pattern)
+    "llm_burrows_delta",
+    # 1-row basket-count broadcast for the lift denominator (the
+    # ts_resample_gapfill 1-row pattern)
+    "orders_basket_lift",
+    # 1-row (lo, width, n) broadcasts plus the 3-target × 256-bucket
+    # probe join — all domain-bounded (≤768 pairs)
+    "agg_quantile_sketch",
+    # 1-row (lo, width) and (n_a, n_b, k) broadcasts (the
+    # ts_resample_gapfill 1-row pattern)
+    "dq_psi_drift",
+    # 3-row window-size grid broadcast (the ts_cross_correlation
+    # lag-grid pattern)
+    "ts_hurst_exponent",
+    # 4-row degree-threshold grid broadcast (the ts_cross_correlation
+    # lag-grid pattern)
+    "graph_rich_club",
+    # 1-row corpus-size broadcasts beside each candidate-count
+    # aggregate (the ts_resample_gapfill 1-row pattern)
+    "llm_dedup_candidate_stats",
     # 1-row corpus-totals broadcast (T, R smoothing denominators);
     # the per-token lookup itself is a 128-row broadcast HASH join
     "llm_dsir_weights",
@@ -411,6 +441,15 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the BH rank/suffix-OR windows run over the m = |event_type|
     # row table (domain-bounded — same argument as Holm's)
     "events_bh_fdr",
+    # the cumulative window runs over the 10-row decile table
+    # (domain-bounded); the fact table sees only the block-ranked core
+    "agg_lorenz_curve",
+    # margin/total windows run over the ≤15-row (priority × status)
+    # contingency table (domain-bounded — same argument as Holm's)
+    "agg_cramers_v",
+    # the cumulative window runs over the ≤256-row bucket table
+    # (domain-bounded); the fact table sees only map-side binning
+    "agg_quantile_sketch",
 }
 
 _plan_cache: dict[str, str] = {}
