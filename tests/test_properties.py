@@ -297,6 +297,21 @@ _NESTED_LOOP_OK = {
     # 1-row corpus-size broadcasts beside each candidate-count
     # aggregate (the ts_resample_gapfill 1-row pattern)
     "llm_dedup_candidate_stats",
+    # 1-row total-edge-count broadcast for the modularity null model
+    # (the ts_resample_gapfill 1-row pattern)
+    "graph_modularity",
+    # 1-row tail-threshold broadcast over the 201-row top set (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_pareto_tail_hill",
+    # 1-row corpus-total broadcast for the Dirichlet prior terms (the
+    # ts_resample_gapfill 1-row pattern)
+    "llm_fightin_words",
+    # 1-row as-of-date anchor broadcast (the ts_resample_gapfill
+    # 1-row pattern)
+    "orders_aging_schedule",
+    # 1-row doc-count and positives-total broadcasts (the
+    # ts_resample_gapfill 1-row pattern)
+    "llm_classifier_gains",
     # 1-row corpus-totals broadcast (T, R smoothing denominators);
     # the per-token lookup itself is a 128-row broadcast HASH join
     "llm_dsir_weights",
@@ -397,6 +412,20 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the SinglePartition is the 1-ROW final U/z reduce; the rank
     # windows partition by block (api.exact_global_rank)
     "agg_mann_whitney",
+    # the SinglePartition is the 1-ROW T reduce; rank windows
+    # partition by block, index windows by the two sample groups
+    "agg_cvm_test",
+    # the SinglePartition is the 1-ROW AUC reduce; the rank windows
+    # partition by block (api.exact_global_rank)
+    "llm_auc_roc",
+    # the cumulative window runs over the 10-row decile table; rank
+    # windows partition by block (api.exact_global_rank over the
+    # negated score); SinglePartition covers the 1-row total reduce
+    "llm_classifier_gains",
+    # the cumulative window runs over the file-list-sized source
+    # table (domain-bounded; block-ranked cumsum is the documented
+    # swap at scale)
+    "delivery_compaction_plan",
     # the SinglePartitions are the 1-row totals/max reduces; the CDF
     # cumsum windows partition by block (api.exact_global_keyed_cumsum)
     "agg_ks_test",
@@ -450,6 +479,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # the cumulative window runs over the ≤256-row bucket table
     # (domain-bounded); the fact table sees only map-side binning
     "agg_quantile_sketch",
+    # the rank window partitions by source; the SinglePartition is
+    # the 1-row corpus-total reduce feeding the prior terms
+    "llm_fightin_words",
 }
 
 _plan_cache: dict[str, str] = {}
@@ -1019,6 +1051,9 @@ _COLLECT_OK = {
     # one-time 25-row dim staging into the avro/json fixture feeds
     ("sources.py", "scan_avro"),
     ("sources.py", "scan_json_corrupt"),
+    # ≤ #partitions rows of d×d partial second moments (d = 64) for
+    # the driver eigh — the corpus itself is never collected
+    ("wave44.py", "llm_embedding_spectrum"),
 }
 
 
