@@ -309,6 +309,9 @@ _NESTED_LOOP_OK = {
     # 1-row as-of-date anchor broadcast (the ts_resample_gapfill
     # 1-row pattern)
     "orders_aging_schedule",
+    # 4-row threshold grid broadcast over the tiny near-dup pair set
+    # (the ts_cross_correlation lag-grid pattern)
+    "llm_dedup_threshold_sweep",
     # 1-row doc-count and positives-total broadcasts (the
     # ts_resample_gapfill 1-row pattern)
     "llm_classifier_gains",
