@@ -545,6 +545,114 @@ def exact_global_keyed_cumsum(
     return blocked.withColumn(out_col, cum).drop(blk)
 
 
+def _stratified_offsets(
+    blocked: DataFrame, key_col: str, blk: str, measure
+) -> Column:
+    """(stratum, block) → exact offset of all strictly-lower blocks of
+    the SAME stratum, broadcast back as a map literal keyed by
+    ``stratum\\x1fblock``. Driver state is |strata|·nblocks entries —
+    bounded by the fixed key domain times the block count, never by
+    the corpus (the same contract as the global cores' offset maps).
+    ``measure`` is the per-group aggregate column (count or sum)."""
+    rows = blocked.groupBy(key_col, blk).agg(measure.alias("_m")).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[key_col], []).append((r[blk], r["_m"]))
+    entries = []
+    for kv, lst in by_key.items():
+        total = 0
+        for b, m in sorted(lst):
+            entries.append((f"{kv}\x1f{b}", total))
+            total += int(m)
+    if not entries:
+        return F.create_map().cast("map<string,bigint>")
+    return F.create_map(
+        *[F.lit(x) for key, off in entries for x in (key, off)]
+    )
+
+
+def exact_stratified_rank(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    order_cols: list,
+    out_col: str,
+    nblocks: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = EXACT 1-based rank WITHIN each ``key_col``
+    stratum, rows ordered by ``order_cols`` — the per-stratum sibling
+    of :func:`exact_global_rank` for LOW-CARDINALITY stratum keys: a
+    plain ``PARTITION BY stratum`` window caps parallelism at the
+    stratum count at ANY data size (the round-7 verdict's
+    win_range_interval finding), while here the window partitions by
+    (stratum, block) — nblocks× the tasks. ``block_col`` must be an
+    INTEGER column MONOTONE in the ``order_cols`` order (equal values
+    may tie — ties stay in one block, so cross-block order is total);
+    split points come from one global percentile_approx (balance
+    only, correctness never depends on them).
+
+    >>> ranked = exact_stratified_rank(h, "event_type", "h32",
+    ...                                ["hx", "event_id"], "pos")
+    """
+    splits = _approx_splits(df, block_col, nblocks)
+    split_arr = _split_arr(splits)
+    blk = f"_blk_{out_col}"
+    blocked = df.withColumn(
+        blk, F.size(F.filter(split_arr, lambda s: s < F.col(block_col)))
+    )
+    off_map = _stratified_offsets(
+        blocked, key_col, blk, F.count(F.lit(1)).cast("long")
+    )
+    w = Window.partitionBy(key_col, blk).orderBy(*order_cols)
+    lookup = F.concat_ws(
+        "\x1f", F.col(key_col).cast("string"), F.col(blk).cast("string")
+    )
+    rn = (F.row_number().over(w) + off_map[lookup]).cast("long")
+    return blocked.withColumn(out_col, rn).drop(blk)
+
+
+def exact_stratified_cumsum(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    tiebreak_col: str | None = None,
+    nblocks: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = EXACT inclusive running sum of
+    ``value_col`` WITHIN each ``key_col`` stratum, rows ordered by
+    (order_col[, tiebreak_col]) — the per-stratum sibling of
+    :func:`exact_global_keyed_cumsum`, same low-cardinality-stratum
+    rationale as :func:`exact_stratified_rank`. Blocks split on the
+    integer ``order_col`` axis; integer measures ⇒ associative ⇒
+    identical to the single-task-per-stratum window at any
+    parallelism.
+
+    >>> c = exact_stratified_cumsum(t, "lang", "doc_id", "n_tok", "cum")
+    """
+    splits = _approx_splits(df, order_col, nblocks)
+    split_arr = _split_arr(splits)
+    blk = f"_blk_{out_col}"
+    blocked = df.withColumn(
+        blk, F.size(F.filter(split_arr, lambda s: s < F.col(order_col)))
+    )
+    off_map = _stratified_offsets(
+        blocked, key_col, blk, F.sum(value_col).cast("long")
+    )
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col, blk)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lookup = F.concat_ws(
+        "\x1f", F.col(key_col).cast("string"), F.col(blk).cast("string")
+    )
+    cum = (F.sum(value_col).over(w) + off_map[lookup]).cast("long")
+    return blocked.withColumn(out_col, cum).drop(blk)
+
+
 # --------------------------------------------------------------------------
 # dictionary-encoded bitmap sets (dense-set intersection machinery)
 # --------------------------------------------------------------------------

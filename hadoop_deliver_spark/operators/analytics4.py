@@ -59,36 +59,40 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction (DPO/RLHF data prep): per
     language, the highest- and lowest-quality documents under a
     deterministic integer quality key (distinct-word count, doc_id
-    tiebreak) become the (chosen, rejected) pair. Both extremes ride
-    ONE lang-keyed window pass (two row_numbers over the same
-    partitioning = one shuffle + one sort); the rank-1 join is
-    |langs|-sized. At 100 TB the same shape yields top-k/bottom-k
-    per prompt bucket."""
+    tiebreak) become the (chosen, rejected) pair. An argmax/argmin
+    per key needs NO sort at all: both extremes are max_by/min_by
+    aggregates over unique ordering structs (score, ∓doc_id), so the
+    whole query is one map-side-combined groupBy — the round-8
+    low-cardinality-window guard retired the previous spelling (two
+    row_numbers PARTITION BY the 5-value lang over the raw corpus,
+    a parallelism ceiling at scale). At 100 TB the same shape yields
+    per-bucket extremes with zero shuffled sort state."""
     d = tbl(spark, sf_dir, "documents")
     scored = d.select(
         "lang",
         "doc_id",
         F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("score"),
     )
-    wb = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
-    ww = Window.partitionBy("lang").orderBy(F.col("score").asc(), F.col("doc_id"))
-    ranked = scored.withColumn("r_best", F.row_number().over(wb)).withColumn(
-        "r_worst", F.row_number().over(ww)
-    )
-    best = ranked.filter(F.col("r_best") == 1).select(
-        "lang",
-        F.col("doc_id").alias("chosen_doc"),
-        F.col("score").alias("chosen_score"),
-    )
-    worst = ranked.filter(F.col("r_worst") == 1).select(
-        "lang",
-        F.col("doc_id").alias("rejected_doc"),
-        F.col("score").alias("rejected_score"),
-    )
     return (
-        best.join(worst, "lang")
+        scored.groupBy("lang")
+        .agg(
+            # best = max score, tie → min doc_id: max of (score, −doc_id)
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("nd")),
+            ).alias("b"),
+            # worst = min score, tie → min doc_id: min of (score, doc_id)
+            F.min_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), F.col("doc_id")),
+            ).alias("w"),
+        )
         .select(
-            "lang", "chosen_doc", "chosen_score", "rejected_doc", "rejected_score"
+            "lang",
+            F.col("b.doc_id").alias("chosen_doc"),
+            F.col("b.score").alias("chosen_score"),
+            F.col("w.doc_id").alias("rejected_doc"),
+            F.col("w.score").alias("rejected_score"),
         )
         .orderBy("lang")
     )

@@ -155,7 +155,11 @@ def llm_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("probe_id").alias("n_probes"),
             F.count(F.lit(1)).alias("n_truth"),
-            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+            # empty corpus: sum over zero rows is NULL — pin to 0 so the
+            # summary row keeps its contract instead of degrading silently
+            F.coalesce(F.sum(F.coalesce("_hit", F.lit(0))), F.lit(0)).alias(
+                "n_hit"
+            ),
         )
         .select(
             F.lit(10).alias("k"),
@@ -163,9 +167,13 @@ def llm_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_probes",
             "n_truth",
             "n_hit",
-            (F.col("n_hit").cast("double") / F.col("n_truth")).alias(
-                "recall3"
-            ),
+            # n_truth=0 (empty embeddings table) → vacuously-perfect 1.0,
+            # not NULL: an empty corpus misses nothing (round-7 advice)
+            F.coalesce(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)),
+                F.lit(1.0),
+            ).alias("recall3"),
             (
                 F.col("n_hit").cast("double")
                 >= F.lit(0.70) * F.col("n_truth")

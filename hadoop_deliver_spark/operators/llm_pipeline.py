@@ -227,21 +227,25 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, sharded per language — pack_id = floor(tokens-before/cap),
     so a pack may overflow by at most its last document (the standard
     streaming-packer semantics; the alternative, splitting documents
-    across packs, is a tokenizer-side decision). The window is
-    partitioned by the shard key — at 100 TB each shard packs
-    independently and in parallel, which is also the correct
-    *semantics* because training shards are per-source/language
-    anyway. One shuffle on lang, one groupBy on (lang, pack_id)."""
+    across packs, is a tokenizer-side decision). Packing shards are
+    per-language — the correct *semantics* for training shards — but
+    the running token total is NOT computed with a bare lang-keyed
+    window (5 partitions at any corpus size, the round-8
+    low-cardinality-window guard's target shape): it rides
+    api.exact_stratified_cumsum, the block-ranked per-stratum core —
+    the cumsum window partitions by (lang, doc_id-block) and the tiny
+    broadcast (lang × block) offset table shifts each block to its
+    exact stratum prefix. One balanced shuffle, one groupBy on
+    (lang, pack_id)."""
+    from hadoop_deliver_spark import api
+
     d = tbl(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = t.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    c = api.exact_stratified_cumsum(
+        t, "lang", "doc_id", "n_tok", "cum"
+    ).withColumn("cum_before", F.col("cum") - F.col("n_tok"))
     return (
         c.groupBy("lang", F.floor(F.col("cum_before") / 2048).alias("pack_id"))
         .agg(

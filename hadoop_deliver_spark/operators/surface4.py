@@ -53,11 +53,40 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     workaround this replaces; the WITHIN GROUP order is part of the
     aggregate itself, so the concatenation order is deterministic by
     construction, not by a separate canonicalization step. Input
-    capped to the top-5 names per segment (keyed rank over the dim)
-    so the string surface stays bounded."""
+    capped to the top-5 names per segment, selected with the salted
+    two-phase pattern (round-8 low-cardinality-window guard): phase 1
+    ranks within (segment, 16-way deterministic hash salt) keeping
+    ≤ 5 per cell, phase 2 takes the true top-5 of the ≤ 80 survivors
+    per segment with a bounded collect_list → sort → slice aggregate
+    — no window partitions on the bare 5-value segment key."""
     c = tbl(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_custkey").desc())
-    top = c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    w1 = Window.partitionBy("c_mktsegment", "_salt").orderBy(
+        F.col("c_custkey").desc()
+    )
+    survivors = (
+        c.withColumn("_salt", F.pmod(F.xxhash64("c_custkey"), F.lit(16)))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= 5)
+    )
+    top = (
+        survivors.groupBy("c_mktsegment")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("c_custkey", "c_name")),
+                    asc=False,
+                ),
+                1,
+                5,
+            ).alias("top")
+        )
+        .select("c_mktsegment", F.explode("top").alias("s"))
+        .select(
+            "c_mktsegment",
+            F.col("s.c_custkey").alias("c_custkey"),
+            F.col("s.c_name").alias("c_name"),
+        )
+    )
     top.createOrReplaceTempView("hds_la_top")
     return spark.sql(
         """
@@ -231,27 +260,95 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_range_frame (which demonstrates the same frame on numeric
     epoch seconds). RANGE semantics include PEERS: events sharing a
     timestamp contribute to each other's frame on both engines,
-    which a ROWS frame would get wrong. Exact integer cents; one
-    type-keyed window pass whose state per partition is bounded by
-    the 24h horizon, not history."""
+    which a ROWS frame would get wrong. Exact integer cents.
+
+    Scale shape (round-7 verdict re-plan): the naive spelling —
+    one window PARTITION BY event_type over the raw fact table —
+    caps parallelism at the type cardinality (5), so five tasks
+    sort everything at any data size. Because the frame horizon
+    (24h) never spans more than TWO epoch-day buckets, the same
+    math decomposes into (event_type, day)-keyed passes:
+
+      trailing(e) = Σ cents in e's own bucket with ts' ≤ e.ts
+                  + [prev-bucket total − Σ prev-bucket cents with
+                     ts' < e.ts − 24h]
+
+    Pass 1 is a running sum windowed by (type, bucket) — RANGE
+    default frame, so equal-ts peers stay included. The strict
+    prefix at the cutoff is resolved with the sorted-merge trick:
+    per-distinct-ts prefix rows (tag 1) union query rows at their
+    cutoff (tag 0), one (type, bucket)-keyed window ordered by
+    (t_us, tag) — a query at exactly the cutoff ts sorts BEFORE the
+    equal-time data row, giving strict `<` for free. Bucket totals
+    are a broadcast-joined per-(type, day) aggregate (bounded by the
+    calendar, not the corpus). Buckets are exact integer epoch-day
+    ids (`unix_micros div 86400e6`), so the cutoff bucket is exactly
+    `bucket − 1` and every comparison stays in exact integers —
+    parallelism is keyed by (type, day): ~1.8k partitions per year
+    of history instead of 5, the same plan at 100 TB."""
     e = tbl(spark, sf_dir, "events")
+    day_us = 86_400_000_000
     c = e.select(
         "event_id",
         "event_type",
-        "ts",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        F.expr(f"unix_micros(ts) div {day_us}").alias("bucket"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    # rangeBetween on a timestamp orderBy needs the interval API: use
-    # SQL for the INTERVAL spelling (the point of this operator)
-    c.createOrReplaceTempView("hds_wri_events")
-    return spark.sql(
-        """
-        SELECT event_id, event_type,
-               CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts
-                    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS trailing_day_cents
-        FROM hds_wri_events ORDER BY event_id
-        """
+    w_own = Window.partitionBy("event_type", "bucket").orderBy("t_us")
+    own = c.withColumn("r_own", F.sum("cents").over(w_own))
+    per_ts = c.groupBy("event_type", "bucket", "t_us").agg(
+        F.sum("cents").alias("ts_cents")
+    )
+    data_pts = per_ts.withColumn(
+        "prefix_le", F.sum("ts_cents").over(w_own)
+    ).select(
+        "event_type",
+        F.col("bucket").alias("cday"),
+        "t_us",
+        F.lit(1).alias("tag"),
+        "prefix_le",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("r_own"),
+    )
+    qry_pts = own.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("cday"),
+        (F.col("t_us") - day_us).alias("t_us"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("prefix_le"),
+        "event_id",
+        "r_own",
+    )
+    w_merge = (
+        Window.partitionBy("event_type", "cday")
+        .orderBy("t_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = data_pts.unionByName(qry_pts).withColumn(
+        "pfx_lt", F.last("prefix_le", ignorenulls=True).over(w_merge)
+    )
+    totals = per_ts.groupBy(
+        "event_type", F.col("bucket").alias("cday")
+    ).agg(F.sum("ts_cents").alias("day_total"))
+    return (
+        merged.filter(F.col("tag") == 0)
+        .join(F.broadcast(totals), ["event_type", "cday"], "left")
+        .select(
+            "event_id",
+            "event_type",
+            (
+                F.col("r_own")
+                + F.coalesce(
+                    F.col("day_total")
+                    - F.coalesce(F.col("pfx_lt"), F.lit(0)),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("trailing_day_cents"),
+        )
+        .orderBy("event_id")
     )
 
 

@@ -312,22 +312,29 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer arithmetic. The checksum column proves the
     SAME ROWS were drawn, not merely the same number.
 
-    Scale shape: one shuffle on the stratum key; the rank and count
-    windows both partition by stratum. At extreme per-stratum
-    cardinality the rank window becomes the block-ranked core
-    per-stratum — the md5 order key makes splits uniform by
-    construction."""
+    Scale shape (round-8 re-plan, low-cardinality-window guard): the
+    per-stratum rank rides api.exact_stratified_rank — windows
+    partition by (stratum, hash-block), never by the bare 5-value
+    stratum key, with the md5-prefix integer as the monotone block
+    axis (uniform splits by construction). The stratum sizes join
+    back as a broadcast 5-row aggregate instead of an unordered
+    count window."""
     e = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.md5(F.col("event_id").cast("string")), "event_id"
-    )
-    wc = Window.partitionBy("event_type")
-    ranked = e.select(
+    h = e.select(
         "event_type",
         "event_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n_type"),
+        F.md5(F.col("event_id").cast("string")).alias("hx"),
+    ).withColumn(
+        "h32", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long")
     )
+    sizes = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_type")
+    )
+    from hadoop_deliver_spark import api
+
+    ranked = api.exact_stratified_rank(
+        h, "event_type", "h32", ["hx", "event_id"], "rn"
+    ).join(F.broadcast(sizes), "event_type")
     return (
         ranked.where(F.col("rn") * 10 <= F.col("n_type"))
         .groupBy("event_type")

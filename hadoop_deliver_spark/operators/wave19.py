@@ -418,15 +418,39 @@ def sample_hash_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 hex chars via the cross-engine hex-parse parity device:
     Spark conv(hex,16,10) == DuckDB from_hex::BIT::INT).
 
-    Scale shape: one partitioned window per type (map-side top-k
-    under AQE), no global sort, no RNG state."""
+    Scale shape (round-8 re-plan, low-cardinality-window guard):
+    salted two-phase bottom-k — phase 1 ranks within (type, 16-way
+    deterministic hash salt) and keeps ≤ k per cell (lossless: every
+    global bottom-k row is within its own cell's bottom-k), phase 2
+    re-selects the k smallest of the ≤ 16k survivors per type with a
+    bounded collect_list → sort → slice AGGREGATE — no window ever
+    partitions on the bare 5-value type key, and the per-type state
+    phase 2 holds is 16k structs, not the corpus."""
     e = tbl(spark, sf_dir, "events")
     hx = F.md5(F.col("event_id").cast("string"))
-    w = Window.partitionBy("event_type").orderBy("hx", "event_id")
-    h = (
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("hx", "event_id")
+    survivors = (
         e.select("event_type", "event_id", hx.alias("hx"))
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= 5)
+        .withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= 5)
+    )
+    h = (
+        survivors.groupBy("event_type")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("hx", "event_id"))),
+                1,
+                5,
+            ).alias("top")
+        )
+        .select("event_type", F.posexplode("top").alias("p", "s"))
+        .select(
+            "event_type",
+            (F.col("p") + 1).alias("pos"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.hx").alias("hx"),
+        )
         .withColumn(
             "h32", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long")
         )

@@ -162,16 +162,41 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-merge; σ and B evaluate in one fixed textual order
     (population σ, the paper's form), round-4 display.
 
-    Scale shape: one partitioned lag window (shuffle on type — swap
-    to (type, day) sub-keys under skew), one keyed moment reduce."""
+    Scale shape (round-8 re-plan, low-cardinality-window guard): the
+    lag is decomposed by epoch-day bucket so no window partitions on
+    the bare 5-value type key. Within-bucket gaps come from a
+    (type, day)-keyed lag; the one gap per bucket boundary is exactly
+    (first of bucket b) − (last of the previous non-empty bucket),
+    recovered from per-bucket min/max structs with a lag over the
+    per-(type, day) AGGREGATE (calendar-bounded at any corpus size).
+    The union of the two sets is the identical gap multiset; the
+    moment sums are order-free."""
     from pyspark.sql import Window
 
     e = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
-    g = e.select(
-        "event_type", (us - F.lag(us).over(w)).alias("gap")
+    c = e.select(
+        "event_type",
+        us.alias("us"),
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("bucket"),
+    )
+    w_in = Window.partitionBy("event_type", "bucket").orderBy(
+        "us", "event_id"
+    )
+    within = c.select(
+        "event_type", (F.col("us") - F.lag("us").over(w_in)).alias("gap")
     ).filter(F.col("gap").isNotNull())
+    per_bucket = c.groupBy("event_type", "bucket").agg(
+        F.min(F.struct("us", "event_id")).alias("first"),
+        F.max(F.struct("us", "event_id")).alias("last"),
+    )
+    w_day = Window.partitionBy("event_type").orderBy("bucket")
+    boundary = per_bucket.select(
+        "event_type",
+        (F.col("first.us") - F.lag("last.us").over(w_day)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    g = within.unionByName(boundary)
     m = g.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
         F.sum("gap").cast("long").alias("s1"),

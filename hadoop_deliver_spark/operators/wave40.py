@@ -424,7 +424,17 @@ def llm_dedup_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect."""
     from hadoop_deliver_spark import api
 
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE materialized corpus scan shared by the minhash and simhash
+    # stages (and the count) — each candidate pipeline references the
+    # corpus more than once (both sides of its self-join), so without
+    # the checkpoint this observability query re-reads and re-decodes
+    # the parquet text column up to six times (round-7 verdict task #4;
+    # the cosine stage checkpoints its own normalized base internally)
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     n_docs = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_items")
     )

@@ -250,6 +250,8 @@ def llm_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         mats = None
         cnt = 0
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: np.stack would raise
+                continue
             arr = np.stack(pdf["e"].to_numpy())
             m = arr.T @ arr
             mats = m if mats is None else mats + m

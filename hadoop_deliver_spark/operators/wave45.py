@@ -340,13 +340,25 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8)])
         ).alias("t")
     )
-    return (
+    counts = (
         pairs.crossJoin(F.broadcast(grid))
         .groupBy(F.col("t").cast("double").alias("threshold"))
         .agg(
             F.count_if(F.col("jaccard") >= F.col("t"))
             .cast("long")
             .alias("n_pairs")
+        )
+    )
+    # grid-preserving left join: on a pair-free corpus the crossJoin
+    # yields 0 rows, but the oracle's `grid LEFT JOIN jac ON true`
+    # still returns all 4 threshold rows with n_pairs=0 — keep the
+    # grid as the preserved side so the twins agree (round-7 advice)
+    return (
+        grid.select(F.col("t").cast("double").alias("threshold"))
+        .join(F.broadcast(counts), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
         )
         .orderBy("threshold")
     )

@@ -488,13 +488,136 @@ _SINGLE_PARTITION_WINDOW_OK = {
 }
 
 _plan_cache: dict[str, str] = {}
+_lowcard_cache: dict[str, list[str]] = {}
+
+
+# Fixed-domain low-cardinality columns of the fixture schema (domain
+# sizes from FIXTURES.md — these cardinalities are DATA-INDEPENDENT:
+# they stay the same at 100 TB, which is exactly why a window
+# partitioned only by them caps parallelism at any scale).
+_LOW_CARD_COLS = {
+    "event_type": 5,
+    "c_mktsegment": 5,
+    "o_orderstatus": 3,
+    "o_orderpriority": 5,
+    "l_returnflag": 3,
+    "l_linestatus": 2,
+    "p_type": 6,
+    "p_brand": 25,
+    "lang": 5,
+    "source": 20,
+}
+
+# Flag when the combined partition-key domain is below ~4× local
+# parallelism (32 cores): fewer partitions than this leaves executors
+# idle at ANY data size.
+_LOW_CARD_LIMIT = 128
+
+# Logical nodes that bound their output row count independent of the
+# input corpus size — a window above one of these runs over an
+# aggregate/limited frame, not the raw fact table.
+_ROW_REDUCING_NODES = {"Aggregate", "Deduplicate", "GlobalLimit", "LocalLimit"}
+
+# Leaves whose size is calendar/domain/literal-bounded at any corpus
+# scale (region=5, nation=25; Range/LocalRelation are literal grids).
+_BOUNDED_LEAF_CLASSES = {"Range", "LocalRelation", "OneRowRelation"}
+_BOUNDED_LEAF_PATHS = ("region.parquet", "nation.parquet")
+
+# Windows cleared after manual audit: partition key is low-card but
+# the input frame is provably bounded in a way the traversal can't see,
+# or the query is the §2 operator-surface demo of the window function
+# itself (the udf_python_scalar precedent).
+_LOW_CARD_WINDOW_OK: set[str] = {
+    # phase-2 of the salted two-phase top-k: its input is the phase-1
+    # Filter survivors — ≤ k·salts rows per type at ANY corpus scale —
+    # but a Filter is not a row-reducing node to the traversal. The
+    # query EXISTS to demonstrate this decomposition.
+    "win_topk_per_group_salted",
+    # §2 operator-surface demos of rank/dense_rank and ntile/
+    # percent_rank/cume_dist: the keyed full-table window IS the
+    # demonstrated semantic (dense_rank with ties, exact quartile
+    # edges), and their output is the full fact table. The scale-safe
+    # spellings of the same math are first-class elsewhere:
+    # api.exact_global_rank / exact_global_ntile (block-ranked, used
+    # by a dozen stats queries) and win_topk_per_group_salted.
+    "win_rank_dense",
+    "win_ntile_pctile",
+}
+
+
+def _low_card_raw_windows(jplan) -> list[str]:
+    """Offending Window nodes in an optimized LOGICAL plan: partition
+    spec made ENTIRELY of fixed-domain low-cardinality attributes
+    (combined domain < _LOW_CARD_LIMIT) while the window input subtree
+    reaches a scale-bearing leaf without crossing a row-reducing node.
+    That shape is the round-7 verdict's win_range_interval finding — a
+    parallelism ceiling invisible to the SinglePartition sweep (5
+    partitions is not 1 partition, but at 100× the data five tasks
+    still sort everything). Heuristic limits, documented: a RENAMED
+    low-card column dodges the name match, and a localCheckpointed
+    input (LogicalRDD) is treated as scale-bearing because its lineage
+    is erased — allowlist such sites in _LOW_CARD_WINDOW_OK with the
+    boundedness argument."""
+    offenders: list[str] = []
+
+    def leaf_is_scale_bearing(node, cls) -> bool:
+        if cls in _BOUNDED_LEAF_CLASSES:
+            return False
+        if cls == "LogicalRelation":
+            try:
+                paths = node.relation().location().rootPaths().toString()
+            except Exception:
+                return True
+            return not any(p in paths for p in _BOUNDED_LEAF_PATHS)
+        return True  # LogicalRDD / unknown leaves: conservative
+
+    def subtree_raw(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls in _ROW_REDUCING_NODES:
+            return False
+        ch = node.children()
+        n = ch.size()
+        if n == 0:
+            return leaf_is_scale_bearing(node, cls)
+        return any(subtree_raw(ch.apply(i)) for i in range(n))
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Window":
+            ps = node.partitionSpec()
+            names = []
+            for i in range(ps.size()):
+                m = re.fullmatch(
+                    r"([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]?",
+                    ps.apply(i).toString(),
+                )
+                names.append(m.group(1) if m else None)
+            if names and all(n in _LOW_CARD_COLS for n in names):
+                card = 1
+                for n in names:
+                    card *= _LOW_CARD_COLS[n]
+                child = node.children().apply(0)
+                if card < _LOW_CARD_LIMIT and subtree_raw(child):
+                    offenders.append(
+                        f"window partitioned by {names} "
+                        f"(domain ≤{card}) over a raw scale-bearing input"
+                    )
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(jplan)
+    return offenders
 
 
 def _registry_plans(spark, sf_dir):
     """name → formatted plan for every batch query, built once per
     session: the registry fns execute real work at call time (KMeans
-    fits, candidate-stage actions, sink writes), so the two plan-shape
-    sweeps below must not each pay that cost."""
+    fits, candidate-stage actions, sink writes), so the plan-shape
+    sweeps below must not each pay that cost. The same pass also
+    harvests the low-cardinality-window offenders from the optimized
+    LOGICAL plan (the partition-spec + subtree walk needs catalyst
+    nodes, not the formatted string)."""
     if not _plan_cache:
         from hadoop_deliver_spark.registry import load_all
 
@@ -505,13 +628,15 @@ def _registry_plans(spark, sf_dir):
         built = {}  # populate locally, publish only on full success —
         # a mid-sweep exception must not leave a partial cache that the
         # second guard test would silently accept as the full registry
+        lowcard = {}
         for name in sorted(R):
             if name.startswith(("stream_", "source_stream", "sink_stream")):
                 continue  # streaming: result plan is the memory-sink scan
-            built[name] = (
-                R[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
-            )
+            qe = R[name].fn(spark, sf_dir)._jdf.queryExecution()
+            lowcard[name] = _low_card_raw_windows(qe.optimizedPlan())
+            built[name] = qe.explainString(mode)
         _plan_cache.update(built)
+        _lowcard_cache.update(lowcard)
     return _plan_cache
 
 
@@ -704,6 +829,89 @@ def test_no_single_partition_windows(spark, sf_dir):
         and ("SinglePartition" in plan and "Window" in plan)
     ]
     assert not offenders, f"single-partition window leaked into: {offenders}"
+
+
+def test_no_low_cardinality_raw_windows(spark, sf_dir):
+    """Registry-wide scale guard #7 (round-7 verdict ask): no batch
+    query may window the RAW fact table partitioned only by
+    fixed-domain low-cardinality keys — a 5-value partition spec caps
+    parallelism at 5 tasks at ANY data size, the exact ceiling the
+    SinglePartition sweep cannot see (win_range_interval shipped that
+    shape for six rounds before the round-7 plan audit caught it; it
+    is now a (type, epoch-day)-bucketed two-pass). Windows over
+    PRE-AGGREGATED per-(key, day) frames partition-by the same keys
+    legitimately — the traversal distinguishes them by requiring a
+    row-reducing node (Aggregate/Deduplicate/Limit) or a bounded leaf
+    on every path below the window."""
+    _registry_plans(spark, sf_dir)  # populate both caches
+    offenders = {
+        name: offs
+        for name, offs in _lowcard_cache.items()
+        if offs and name not in _LOW_CARD_WINDOW_OK
+    }
+    assert not offenders, f"low-cardinality raw window leaked into: {offenders}"
+    gone = _LOW_CARD_WINDOW_OK - set(_lowcard_cache)
+    assert not gone, f"stale allowlist entries (_LOW_CARD_WINDOW_OK): {gone}"
+
+
+def test_low_card_window_detector_fires_on_prefix_shape(spark, sf_dir):
+    """The detector must flag the exact shape it exists for — the
+    pre-round-8 win_range_interval plan (window over raw events
+    PARTITION BY the 5-value event_type) — and must PASS both the
+    round-8 fix (partition keys include the high-cardinality epoch-day
+    bucket) and the legitimate aggregate-input pattern used by ~70
+    other event_type window sites."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def offs(df):
+        return _low_card_raw_windows(df._jdf.queryExecution().optimizedPlan())
+
+    # 1) the pre-fix offender: raw fact table, 5-value partition key
+    bad = e.withColumn(
+        "s",
+        F.sum("value").over(Window.partitionBy("event_type").orderBy("ts")),
+    )
+    assert offs(bad), "detector missed the pre-fix win_range_interval shape"
+    # 2) the fix's shape: (type, day-bucket) keys — bucket is derived,
+    # high-cardinality, so the window passes
+    fixed = e.withColumn(
+        "bucket",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+    ).withColumn(
+        "s",
+        F.sum("value").over(
+            Window.partitionBy("event_type", "bucket").orderBy("ts")
+        ),
+    )
+    assert not offs(fixed)
+    # 3) the aggregate-input pattern: window over a per-(type, day)
+    # aggregate partitioned by event_type alone is bounded and fine
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("v")
+    )
+    good = daily.withColumn(
+        "s",
+        F.sum("v").over(Window.partitionBy("event_type").orderBy("d")),
+    )
+    assert not offs(good)
+    # 4) bounded dim input: window over nation partitioned by a
+    # low-card key passes via the bounded-leaf rule
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").join(
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    # n_name is not in _LOW_CARD_COLS, so partition by a synthetic
+    # low-card alias to exercise the leaf rule itself
+    dim = nat.select(F.col("n_name").alias("event_type"), "n_nationkey")
+    bounded = dim.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("n_nationkey")
+        ),
+    )
+    assert not offs(bounded)
 
 
 def test_json_failfast_aborts_on_corrupt(spark, sf_dir):
@@ -1022,6 +1230,8 @@ _COLLECT_OK = {
     ("api.py", "exact_global_cumsum_desc"),
     ("api.py", "exact_global_keyed_cumsum"),
     ("api.py", "exact_global_rank"),
+    # |strata|·nblocks offset rows (stratified block-ranked cores)
+    ("api.py", "_stratified_offsets"),
     # unkeyed path only: one row per calendar day of boundary points
     # (keyed path uses a partitioned window, no collect)
     ("api.py", "concurrency_sweep"),
