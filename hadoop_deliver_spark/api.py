@@ -1664,7 +1664,13 @@ def cosine_pairs(
     product, so the candidate join shuffles ids + k floats, never the
     vectors. Property tests assert grid == brute force on random
     vectors; the candidate-volume guard bounds survivors on the
-    fixture corpus.
+    fixture corpus AND on an adversarial seeded ISOTROPIC corpus
+    (test_cosine_candidate_bound_isotropic), where the grid cells
+    collapse and pruning is the SOS bound alone — measured 0.34% of
+    all-pairs on the clustered sf0.1 fixture and 0.35% on the
+    isotropic one, both asserted ≤5%. If a future corpus defeats the
+    SOS bound, the upgrade path is L2AP/AllPairs coordinate prefix
+    filtering (Bayardo et al. WWW'07; Anastasiu & Karypis ICDE'14).
 
     Driver-side state: one bounded collect of the d² reduced moment
     entries (NOT data rows — see :func:`_principal_directions`).

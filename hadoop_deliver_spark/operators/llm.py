@@ -60,21 +60,63 @@ _SHINGLE_SET_SQL = """
 """
 
 # Exact pairwise Jaccard over 3-token shingle sets, computed in DuckDB
-# from first principles (inverted-index join on shared shingles).
+# with the SAME lossless PPJoin candidate stage + 64-bit bitmap-words
+# refine as the llm_dedup_ngram_jaccard oracle (round-8 oracle trim:
+# the previous flat inverted self-join paid Σ_sh df² for EVERY
+# consumer — ~8-10s each at sf0.1 across five oracles).
+#
+# CONTRACT: complete for jaccard >= 0.5 — the df-ascending prefix
+# filter ((2n+2)//3 = exact ceil(2n/3) probing prefix, (n+1)//2 index
+# prefix, both with +1 slack), the 2× size-ratio bound and the
+# cross-multiplied positional bound 3·(1+min(remainders)) ≥ na+nb are
+# each lossless at t = 0.5 (sub-threshold candidate pairs may also
+# surface, with their exact jaccard). Every consumer filters at
+# jaccard >= 0.5; the jaccard expression itself is unchanged exact-int
+# arithmetic, so surviving values are bit-identical to the flat form.
 _EXACT_JACCARD_SQL = f"""
     WITH sets AS ({_SHINGLE_SET_SQL}),
-    inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+    inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh
+            FROM sets),
+    sdf AS (SELECT sh, count(*) AS df FROM inv GROUP BY sh),
+    ranked AS (
+        SELECT i.doc_id, i.n, i.sh,
+               row_number() OVER (PARTITION BY i.doc_id
+                                  ORDER BY d.df, i.sh) AS rk
+        FROM inv i JOIN sdf d USING (sh)
+    ),
+    cands AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id)    AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM (SELECT * FROM ranked
+              WHERE rk <= n - (2 * n + 2) // 3 + 2) a
+        JOIN (SELECT * FROM ranked
+              WHERE rk <= n - (n + 1) // 2 + 2) b
+          ON a.sh = b.sh
+         AND (b.n > a.n OR (b.n = a.n AND b.doc_id > a.doc_id))
+         AND b.n <= 2 * a.n
+         AND 3 * (1 + least(a.n - a.rk, b.n - b.rk)) >= a.n + b.n
+    ),
+    gid AS (SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INT)
+                   AS gid
+            FROM sdf),
+    words AS (
+        SELECT i.doc_id, any_value(i.n) AS n, x.gid // 64 AS chunk,
+               bit_or(CAST(1 AS UBIGINT) << (x.gid % 64)) AS w
+        FROM inv i JOIN gid x USING (sh)
+        GROUP BY i.doc_id, x.gid // 64
+    ),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b,
+               any_value(wa.n) AS na, any_value(wb.n) AS nb,
+               sum(bit_count(wa.w & wb.w)) AS n_inter
+        FROM cands c
+        JOIN words wa ON wa.doc_id = c.doc_a
+        JOIN words wb ON wb.doc_id = c.doc_b AND wb.chunk = wa.chunk
         GROUP BY 1, 2
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_inter AS DOUBLE)
-               / (len(sa.shingles) + len(sb.shingles) - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sets sa ON sa.doc_id = i.doc_a
-    JOIN sets sb ON sb.doc_id = i.doc_b
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+    FROM inter
 """
 
 

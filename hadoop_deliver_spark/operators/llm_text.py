@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_deliver_spark.operators.llm import _EXACT_JACCARD_SQL
 from hadoop_deliver_spark.registry import register
 from hadoop_deliver_spark.tables import tbl
 
@@ -449,36 +450,13 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_CLUSTERS_CTE = """
+_CLUSTERS_CTE = f"""
     WITH RECURSIVE pairs AS (
-        SELECT doc_a, doc_b FROM (
-            SELECT doc_a, doc_b, jaccard FROM (
-                WITH sets AS (
-                    SELECT doc_id,
-                           list_distinct(list_transform(
-                               range(1, len(string_split(text, ' ')) - 1),
-                               i -> array_to_string(list_slice(
-                                   string_split(text, ' '), i, i + 2), ' ')
-                           )) AS shingles
-                    FROM documents
-                ),
-                inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
-                inter AS (
-                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                           count(*) AS n_inter
-                    FROM inv a JOIN inv b
-                      ON a.sh = b.sh AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2
-                )
-                SELECT i.doc_a, i.doc_b,
-                       CAST(i.n_inter AS DOUBLE)
-                           / (len(sa.shingles) + len(sb.shingles) - i.n_inter)
-                           AS jaccard
-                FROM inter i
-                JOIN sets sa ON sa.doc_id = i.doc_a
-                JOIN sets sb ON sb.doc_id = i.doc_b
-            ) WHERE jaccard >= 0.5
-        )
+        -- the shared exact-Jaccard pair CTE (llm.py) — PPJoin
+        -- candidates + bitmap-words refine, complete for J >= 0.5,
+        -- so the pair definition cannot drift from llm_dedup_minhash
+        SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_SQL})
+        WHERE jaccard >= 0.5
     ), edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs
