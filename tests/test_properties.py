@@ -272,6 +272,17 @@ _NESTED_LOOP_OK = {
     # 1-row 2J statistic × 1-row moment reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_jonckheere_terpstra",
+    # 10-row pair grid × 1-row N/T moment reduce (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_dunn_posthoc",
+    # 1-row column-moment × 1-row square-sum reduce (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_friedman",
+    # 1-row corpus-count and 1-row doubled-median broadcasts over the
+    # ranked table (the ts_resample_gapfill 1-row pattern)
+    "agg_mood_median",
+    # 1-row LOW-group-size broadcast next to the dominance reduce
+    "agg_cliffs_delta",
     # 1-row exact-distinct aggregate broadcast next to the 1-row
     # sketch estimate (the ts_resample_gapfill 1-row pattern)
     "agg_hll_firstprin",
@@ -422,6 +433,26 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # (group × quantity) grid; SinglePartitions are the 1-row 2J and
     # moment reduces
     "agg_jonckheere_terpstra",
+    # position row_numbers run over the 20-row TRUNCATED top-k lists
+    # (TakeOrdered bounds them before the window); the SinglePartition
+    # also covers the 1-row RBO reduce
+    "llm_rank_rbo",
+    # rank/Holm-chain windows run over the 10-row pair grid
+    # (domain-bounded — the events_holm_correction argument); the
+    # block-ranked midrank windows partition by block; SinglePartitions
+    # are the 1-row N/T reduces
+    "agg_dunn_posthoc",
+    # the rank window partitions by DAY over the (day × 5) grid
+    # aggregate (calendar-bounded); SinglePartitions are the 1-row
+    # moment reduces
+    "agg_friedman",
+    # the block-ranked rank windows partition by block; the
+    # SinglePartitions are the 1-row count/median/pivot reduces
+    "agg_mood_median",
+    # the prefix windows run over the 50-row literal quantity grid
+    # (domain-bounded); SinglePartition covers the 1-row dominance
+    # reduce
+    "agg_cliffs_delta",
     # the SinglePartition is the 1-ROW final regression aggregate
     # (regr_slope over the vocabulary); the rank window itself
     # partitions by block (api.exact_global_rank)
