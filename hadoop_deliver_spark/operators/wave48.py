@@ -189,10 +189,11 @@ def agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS q_num,
            CAST(3 * tot - sumr2 AS BIGINT) AS q_den,
            round(2.0 * (3.0 * (c1 * c1 + c2 * c2 + c3 * c3) - CAST(tot
-                 AS DOUBLE) * tot) / (3 * tot - sumr2), 4) AS q,
-           2.0 * (3.0 * (c1 * c1 + c2 * c2 + c3 * c3)
-                  - CAST(tot AS DOUBLE) * tot)
-               > {_CHI2_2_95} * (3 * tot - sumr2) AS significant
+                 AS DOUBLE) * tot) / nullif(3 * tot - sumr2, 0), 4) AS q,
+           (3 * tot - sumr2 > 0
+            AND 2.0 * (3.0 * (c1 * c1 + c2 * c2 + c3 * c3)
+                       - CAST(tot AS DOUBLE) * tot)
+                > {_CHI2_2_95} * (3 * tot - sumr2)) AS significant
     FROM s
     """,
     tags=("events", "stats"),
@@ -248,8 +249,14 @@ def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c3",
         q_num.cast("long").alias("q_num"),
         q_den.cast("long").alias("q_den"),
-        F.round(q_numd / q_den, 4).alias("q"),
-        (q_numd > F.expr(_CHI2_2_95) * q_den).alias("significant"),
+        # Q is undefined when every user hit all three decades
+        # (3T − ΣR² = 0, e.g. the sf0.001 fixture): NULL q, no verdict
+        F.round(
+            q_numd / F.nullif(q_den, F.lit(0)), 4
+        ).alias("q"),
+        (
+            (q_den > 0) & (q_numd > F.expr(_CHI2_2_95) * q_den)
+        ).alias("significant"),
     )
 
 

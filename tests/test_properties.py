@@ -275,6 +275,24 @@ _NESTED_LOOP_OK = {
     # 10-row pair grid × 1-row N/T moment reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_dunn_posthoc",
+    # 1-row pooled-count broadcast next to the ranked table (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_ansari_bradley",
+    # 1-row tie-sum broadcast × 1-row W2 reduce (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_wilcoxon_signedrank",
+    # 1-row column-square-sum broadcast × 1-row A16 reduce (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_quade",
+    # ≤25-cell contingency-table self-join (domain-bounded broadcast
+    # — the events_holm_correction argument)
+    "agg_gk_gamma",
+    # 1-row month-count broadcast over the 7-row column-sum frame,
+    # then a 1-row tie-sum scalar join
+    "agg_kendall_w",
+    # 1-row Var18 reduce broadcast next to the 1-row S reduce (the
+    # ts_resample_gapfill 1-row pattern)
+    "ts_seasonal_mann_kendall",
     # 1-row column-moment × 1-row square-sum reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_friedman",
@@ -437,6 +455,43 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # (TakeOrdered bounds them before the window); the SinglePartition
     # also covers the 1-row RBO reduce
     "llm_rank_rbo",
+    # the rank window partitions by DAY over the (date × 5) grid
+    # (calendar-bounded); the SinglePartition is the 1-row L reduce
+    "agg_page_trend",
+    # block-ranked rank windows partition by block (api core); the
+    # SinglePartition is the 1-row pooled-count broadcast
+    "agg_ansari_bradley",
+    # block-ranked rank windows partition by block (api core); the
+    # SinglePartitions are the 1-row W2/tie reduces
+    "agg_wilcoxon_signedrank",
+    # the within-block rank window partitions by WEEK; the range rank
+    # runs over the calendar-bounded week axis; SinglePartitions are
+    # the 5-row column and 1-row reduces
+    "agg_quade",
+    # per-group and pooled rank windows run over the calendar-bounded
+    # per-type daily series (≤ 2·days rows); SinglePartitions are the
+    # 1-row reduces
+    "agg_conover_squared_ranks",
+    # lag windows run over the calendar-bounded daily series (one row
+    # per date — the ts_* bounded-window shape)
+    "ts_theil_u2",
+    # the rank window partitions by MONTH over the (month × 7) grid
+    # (calendar-bounded); SinglePartitions are the 7-row column and
+    # 1-row scalar reduces
+    "agg_kendall_w",
+    # rank/lead/count windows run over the calendar-bounded daily
+    # series (one row per date — the ts_* bounded-window shape)
+    "ts_bartels_rvn",
+    # the per-season tie-count window runs over the ≤12·years
+    # (season × distinct-value) frame; SinglePartitions are the 1-row
+    # S/Var reduces
+    "ts_seasonal_mann_kendall",
+    # index/count windows run over the calendar-bounded daily series
+    # (one row per date — the ts_* bounded-window shape)
+    "ts_cox_stuart",
+    # lag/lead/count windows run over the calendar-bounded daily
+    # series (one row per date — the ts_* bounded-window shape)
+    "ts_turning_points",
     # rank/Holm-chain windows run over the 10-row pair grid
     # (domain-bounded — the events_holm_correction argument); the
     # block-ranked midrank windows partition by block; SinglePartitions
