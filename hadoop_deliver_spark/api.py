@@ -553,11 +553,29 @@ def _stratified_offsets(
     ``stratum\\x1fblock``. Driver state is |strata|·nblocks entries —
     bounded by the fixed key domain times the block count, never by
     the corpus (the same contract as the global cores' offset maps).
-    ``measure`` is the per-group aggregate column (count or sum)."""
-    rows = blocked.groupBy(key_col, blk).agg(measure.alias("_m")).collect()
+    ``measure`` is the per-group aggregate column (count or sum).
+
+    Contract: stratum keys must be NON-NULL (the lookup side's
+    ``concat_ws`` silently drops NULLs) and the map key is built from
+    Spark's OWN ``cast('string')`` of the key — never a Python repr,
+    which diverges for booleans/floats/dates. Both are enforced here:
+    the groupBy collects ``key_col.cast('string')`` so driver and
+    executor render the key identically, and a NULL key or NULL
+    measure raises instead of silently yielding NULL ranks."""
+    skey = f"_skey_{blk}"
+    rows = (
+        blocked.groupBy(F.col(key_col).cast("string").alias(skey), blk)
+        .agg(measure.alias("_m"))
+        .collect()
+    )
     by_key: dict = {}
     for r in rows:
-        by_key.setdefault(r[key_col], []).append((r[blk], r["_m"]))
+        if r[skey] is None or r["_m"] is None:
+            raise ValueError(
+                f"_stratified_offsets: NULL stratum key or measure in "
+                f"{key_col!r} (NULLs are dropped by the concat_ws lookup)"
+            )
+        by_key.setdefault(r[skey], []).append((r[blk], r["_m"]))
     entries = []
     for kv, lst in by_key.items():
         total = 0

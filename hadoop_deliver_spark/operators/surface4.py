@@ -282,8 +282,11 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-time data row, giving strict `<` for free. Bucket totals
     are a broadcast-joined per-(type, day) aggregate (bounded by the
     calendar, not the corpus). Buckets are exact integer epoch-day
-    ids (`unix_micros div 86400e6`), so the cutoff bucket is exactly
-    `bucket − 1` and every comparison stays in exact integers —
+    ids via TRUE floor division (`(t_us − pmod(t_us, day)) div day`,
+    not Spark's truncate-toward-zero `div`, which would make bucket 0
+    span two days for pre-1970 timestamps), so the cutoff bucket is
+    exactly `bucket − 1` for EVERY t_us and all comparisons stay in
+    exact integers —
     parallelism is keyed by (type, day): ~1.8k partitions per year
     of history instead of 5, the same plan at 100 TB."""
     e = tbl(spark, sf_dir, "events")
@@ -292,7 +295,10 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.expr("unix_micros(ts)").alias("t_us"),
-        F.expr(f"unix_micros(ts) div {day_us}").alias("bucket"),
+        F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {day_us})) "
+            f"div {day_us}"
+        ).alias("bucket"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
     w_own = Window.partitionBy("event_type", "bucket").orderBy("t_us")

@@ -95,6 +95,16 @@ def agg_wilcoxon_signedrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — cross-products promoted to DECIMAL(38)/HUGEINT (n⁴-scale), so
     no float ever decides; z is display-only (round-4).
 
+    Envelope (n = non-zero-diff CUSTOMERS, corpus-proportional —
+    unlike the calendar-bounded cousins): 1875·(2W2 − n(n+1))² peaks
+    at 1875·n⁴ ≈ 10³⁸ at n ≈ 4.8e8, so past ~5e8 customers the
+    DECIMAL(38) product overflows and Spark's non-ANSI multiply turns
+    `significant` NULL rather than wrong — beyond that, rescale both
+    sides by (1000·1000)² via W2 div 1000 / V48 div 10⁶ (a ±1-ulp
+    band at the boundary) or flip on spark.sql.ansi.enabled to fail
+    loudly. The driver fixture peaks at ~1.5e5 customers (sf0.1) —
+    ~3000× under the ceiling.
+
     Scale shape: one keyed customer reduce, the block-ranked exact
     global rank (api core — rank windows partition by block), a
     per-distinct-|d| tie reduce, then 1-row × 1-row scalar joins."""
