@@ -65,8 +65,8 @@ _BUCKET_EDGES = (5_000_000, 10_000_000, 20_000_000, 30_000_000)
         FROM piv
     )
     SELECT nn AS n_orders,
-           round(btw - CAST(tt AS DOUBLE) * tt / nn, 4) AS ssb,
-           round(CAST(uu AS DOUBLE) - btw, 4) AS ssw,
+           CAST(btw - CAST(tt AS DOUBLE) * tt / nn AS REAL) AS ssb,
+           CAST(CAST(uu AS DOUBLE) - btw AS REAL) AS ssw,
            round((btw - CAST(tt AS DOUBLE) * tt / nn) / 4
                  / ((CAST(uu AS DOUBLE) - btw) / (nn - 5)), 4) AS f_stat,
            (btw - CAST(tt AS DOUBLE) * tt / nn) * (nn - 5)
@@ -88,6 +88,14 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     to SSB·(N−5) > χ²₄(0.95)·SSW with the shared literal — at TPC-H
     row counts the finite-df correction is below the literal's
     round-6 resolution.
+
+    SSB/SSW ship as FLOAT32, not round(·,4): at ~10¹³ magnitude the
+    double ulp (≈0.004) exceeds 4-decimal resolution, and DuckDB's
+    round(x,4) computes x·10⁴ past 2⁵³ — a lossy multiply that
+    injects ulp artifacts Spark's exact BigDecimal round doesn't
+    (round(3.131744805639e13, 4) → …390.004 in DuckDB). The float32
+    cast of the bit-identical fixed-order doubles is exact on both
+    engines at any magnitude.
 
     Scale shape: ONE keyed reduce of the fact table to five rows,
     then a 1-row pivot — map-side-combinable all the way."""
@@ -132,8 +140,8 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssw = uu.cast("double") - btw
     return m.select(
         nn.alias("n_orders"),
-        F.round(ssb, 4).alias("ssb"),
-        F.round(ssw, 4).alias("ssw"),
+        ssb.cast("float").alias("ssb"),
+        ssw.cast("float").alias("ssw"),
         F.round(ssb / 4 / (ssw / (nn - 5)), 4).alias("f_stat"),
         (ssb * (nn - 5) > float(_CHI2_4_95) * ssw).alias("significant"),
     )
