@@ -293,6 +293,12 @@ _NESTED_LOOP_OK = {
     # 1-row Var18 reduce broadcast next to the 1-row S reduce (the
     # ts_resample_gapfill 1-row pattern)
     "ts_seasonal_mann_kendall",
+    # 1-row extremes broadcast over the bounded daily axis (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_tukey_quick",
+    # 1-row max|S| broadcast for the argmax month, then the 1-row
+    # statistic × 1-row changepoint join
+    "ts_buishand_range",
     # 1-row column-moment × 1-row square-sum reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_friedman",
@@ -482,6 +488,16 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # rank/lead/count windows run over the calendar-bounded daily
     # series (one row per date — the ts_* bounded-window shape)
     "ts_bartels_rvn",
+    # combined/within rank windows run over the calendar-bounded
+    # per-priority daily series (≤2·days rows); SinglePartitions are
+    # the 2-row sample reduces
+    "agg_brunner_munzel",
+    # prefix/lag/count windows run over the calendar-bounded daily
+    # series (one row per date — the ts_* bounded-window shape)
+    "ts_kpss",
+    # prefix/count windows run over the ≤hundreds-of-months series
+    # (the ts_* bounded-window shape)
+    "ts_buishand_range",
     # the per-season tie-count window runs over the ≤12·years
     # (season × distinct-value) frame; SinglePartitions are the 1-row
     # S/Var reduces
