@@ -492,6 +492,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # per-priority daily series (≤2·days rows); SinglePartitions are
     # the 2-row sample reduces
     "agg_brunner_munzel",
+    # identical shape to agg_brunner_munzel (shared placement
+    # machinery over the bounded per-priority daily series)
+    "agg_fligner_policello",
     # prefix/lag/count windows run over the calendar-bounded daily
     # series (one row per date — the ts_* bounded-window shape)
     "ts_kpss",
