@@ -1,0 +1,549 @@
+"""§2 extensions, eightieth wave — per-node graph structure, bounded
+iterative peeling, recursive-residual breaks, and the BWS rank test
+(published-method cadence).
+
+- graph_clustering_local: Watts-Strogatz per-node clustering
+  coefficients (1998) on the Brand#23 co-purchase projection.
+- graph_kcore_peel: bounded 3-core peeling (Seidman 1983) — eight
+  unrolled prune-degree<3 iterations with per-iteration survivor
+  counts on BOTH engines.
+- ts_cusum_squares: the Brown-Durbin-Evans CUSUM-of-squares test
+  (1975) for variance instability of daily revenue.
+- agg_bws_test: the Baumgartner-Weiß-Schindler rank test (1998) —
+  the variance-weighted Cramér-von-Mises-style two-sample test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import dec2, tbl
+
+_KCORE_SQL_PREFIX = """
+    WITH ce AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part pt ON pt.p_partkey = l.l_partkey
+        WHERE pt.p_brand = 'Brand#23'
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ce a JOIN ce b ON a.c = b.c AND a.p < b.p
+    )"""
+
+_KCORE_SQL_STAGE = """,
+    d{i} AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e{prev}
+              UNION ALL SELECT v FROM e{prev})
+        GROUP BY node
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= 3),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{prev} e
+        JOIN k{i} ku ON ku.node = e.u
+        JOIN k{i} kv ON kv.node = e.v
+    ),
+    s{i} AS (
+        SELECT CAST({i} AS BIGINT) AS it,
+               (SELECT CAST(count(DISTINCT node) AS BIGINT)
+                FROM (SELECT u AS node FROM e{i}
+                      UNION ALL SELECT v FROM e{i}))
+                   AS nodes_remaining,
+               (SELECT CAST(count(*) AS BIGINT) FROM e{i})
+                   AS edges_remaining
+    )"""
+
+
+@register(
+    "graph_clustering_local",
+    """
+    WITH ce AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part pt ON pt.p_partkey = l.l_partkey
+        WHERE pt.p_brand = 'Brand#23'
+    ),
+    pe AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ce a JOIN ce b ON a.c = b.c AND a.p < b.p
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM pe e1
+        JOIN pe e2 ON e2.u = e1.v
+        JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tnode AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM pe UNION ALL SELECT v FROM pe)
+        GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           CAST(coalesce(tnode.t, 0) AS BIGINT) AS triangles,
+           round(2.0 * coalesce(tnode.t, 0) / (deg.d * (deg.d - 1)), 6)
+               AS coeff
+    FROM deg LEFT JOIN tnode USING (node)
+    WHERE deg.d >= 2
+    ORDER BY node
+    """,
+    tags=("graph",),
+)
+def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node (local) clustering coefficients (Watts & Strogatz
+    1998): C_i = 2·t_i/(d_i(d_i−1)) over the Brand#23 co-purchase
+    projection (the graph_clustering_global fixture — brand scoping
+    keeps it sparse). Triangles come from the oriented u<v<w
+    three-edge join, each triangle exploded to its three corners and
+    counted per node — t_i and d_i exact int64s; the coefficient is
+    one display division (d(d−1) denominators don't terminate at the
+    6th decimal, so round is tie-free). Nodes of degree < 2 (C
+    undefined) are excluded; zero-triangle nodes report C = 0.
+
+    Scale shape: the projection is a customer-keyed equi-join; the
+    oriented triangle join touches each wedge once (the standard
+    sparse-graph enumeration — degree-ordered orientation bounds the
+    join fan-out by arboricity); per-node reduces end it."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    ce = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = ce.select("c", F.col("p").alias("u"))
+    b = ce.select(F.col("c").alias("c_b"), F.col("p").alias("v"))
+    pe = (
+        a.join(b, (F.col("c") == F.col("c_b")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = pe.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = pe.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = pe.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    tnode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    deg = (
+        pe.select(F.col("u").alias("node"))
+        .unionAll(pe.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return (
+        deg.join(tnode, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("coeff"),
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_kcore_peel",
+    _KCORE_SQL_PREFIX
+    + "".join(
+        _KCORE_SQL_STAGE.format(i=i, prev=i - 1) for i in range(1, 9)
+    )
+    + "\n    "
+    + " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, 9))
+    + "\n    ORDER BY it",
+    tags=("graph",),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peeling (Seidman 1983, "Network structure and
+    minimum degree"): iteratively delete nodes of degree < 3 from
+    the Brand#23 co-purchase projection, EIGHT unrolled rounds, and
+    report survivors per round — the degeneracy-ordering primitive
+    under community detection and dense-subgraph mining. Both
+    engines run the SAME fixed eight iterations (the oracle unrolls
+    them as chained CTEs), so results match even when the peel has
+    not reached its fixpoint — the iteration count is part of the
+    operator contract, the standard bounded-unrolling device for
+    iterative algorithms on engines without native recursion
+    (graph_pagerank's fixed-iteration precedent). All counts exact.
+
+    Scale shape: each round is a keyed degree reduce + two semi-join
+    prunes of the edge list — the same shuffles a billion-edge
+    k-core takes per round; Spark's round-boundary localCheckpoint
+    keeps lineage flat (at cluster scale: checkpoint to storage)."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    ce = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = ce.select("c", F.col("p").alias("u"))
+    b = ce.select(F.col("c").alias("c_b"), F.col("p").alias("v"))
+    edges = (
+        a.join(b, (F.col("c") == F.col("c_b")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    out = []
+    prev = (-1, -1)
+    for it in range(1, 9):
+        if out and (out[-1][1], out[-1][2]) == prev and it > 1:
+            # fixpoint: a peel round that removed nothing stays
+            # removed-nothing forever (degree pruning is monotone) —
+            # replicate the converged counts without more Spark jobs
+            out.append((it, out[-1][1], out[-1][2]))
+            continue
+        prev = (out[-1][1], out[-1][2]) if out else (-1, -1)
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= 3).select("node")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        row = (
+            edges.select(
+                F.explode(F.array("u", "v")).alias("node")
+            )
+            .agg(
+                F.count_distinct("node").alias("nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("edges"),
+            )
+            .collect()[0]
+        )
+        out.append((it, row["nodes"], row["edges"]))
+    return spark.createDataFrame(
+        out, "it bigint, nodes_remaining bigint, edges_remaining bigint"
+    ).orderBy("it")
+
+
+@register(
+    "ts_cusum_squares",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS dollars
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, dollars,
+               row_number() OVER (ORDER BY day) AS t,
+               count(*) OVER () AS n,
+               sum(dollars) OVER () AS tot
+        FROM daily
+    ),
+    e AS (
+        SELECT day, t, n,
+               CAST(CAST(n AS BIGINT) * dollars - tot AS HUGEINT)
+                   * (CAST(n AS BIGINT) * dollars - tot) AS e2
+        FROM seq
+    ),
+    c AS (
+        SELECT day, t, n,
+               CAST(sum(e2) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS p,
+               CAST(sum(e2) OVER () AS HUGEINT) AS g
+        FROM e
+    ),
+    dev AS (
+        SELECT day, t, n,
+               abs(CAST(n AS HUGEINT) * p - CAST(t AS HUGEINT) * g)
+                   AS adev, g
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(max(adev) AS HUGEINT) AS m,
+               CAST(max(g) AS HUGEINT) AS g
+        FROM dev
+    ),
+    cp AS (
+        SELECT min(day) AS break_day
+        FROM dev WHERE adev = (SELECT max(adev) FROM dev)
+    )
+    SELECT s.n AS n_days,
+           round(CAST(m AS DOUBLE) * sqrt(CAST(s.n AS DOUBLE))
+                 / (CAST(s.n AS DOUBLE) * CAST(g AS DOUBLE)), 4)
+               AS stat_sqrt_n,
+           strftime(cp.break_day, '%Y-%m-%d') AS break_day,
+           625.0 * s.n * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+               > 1156.0 * (CAST(s.n AS DOUBLE) * CAST(g AS DOUBLE))
+                 * (CAST(s.n AS DOUBLE) * CAST(g AS DOUBLE))
+               AS unstable_variance
+    FROM s, cp
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares test for variance instability (Brown, Durbin
+    & Evans 1975): C_t = Σ_(i≤t)e_i²/Σe_i² should climb the diagonal
+    t/n under stable variance; the statistic is max|C_t − t/n|,
+    compared against the Brownian-bridge asymptotic 5% band 1.36/√n
+    (1.36 = 34/25, the Kolmogorov sup-norm constant — the honest
+    large-n approximation, shared textually). With the n-scaled
+    residuals ẽ = n·y − T the squared terms ẽ² and their prefix sums
+    P_t stay exact in DECIMAL(38)/HUGEINT, and C_t − t/n =
+    (n·P_t − t·G)/(n·G) makes the deviations |n·P_t − t·G| exact
+    integers — the argmax day is an exact integer argmax (earliest
+    on ties). M² would need ~n⁶·C⁴ digits, so the verdict
+    625·n·M² > 1156·(n·G)² runs on doubles cast from the exact
+    integers in one fixed textual order (the agg_oneway_anova
+    device — bit-identical on both engines); the displayed
+    √n-normalized statistic is a single fixed-form division.
+
+    Scale shape: one keyed reduce to the calendar-bounded daily
+    series, prefix windows over that bounded axis, a 1-row reduce
+    and a broadcast argmax join."""
+    o = tbl(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor("o_totalprice").cast("long"))
+        .cast("long")
+        .alias("dollars")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("day")
+    w_pfx = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "day",
+        "dollars",
+        F.row_number().over(w_ord).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("dollars").over(w_all).alias("tot"),
+    )
+    ee = (F.col("n") * F.col("dollars") - F.col("tot")).cast(
+        "decimal(38,0)"
+    )
+    e = seq.select("day", "t", "n", (ee * ee).alias("e2"))
+    c = e.select(
+        "day",
+        "t",
+        "n",
+        F.sum("e2").over(w_pfx).alias("p"),
+        F.sum("e2").over(Window.partitionBy()).alias("g"),
+    )
+    dev = c.select(
+        "day",
+        "n",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("p")
+            - F.col("t").cast("decimal(38,0)") * F.col("g")
+        ).alias("adev"),
+        "g",
+    )
+    s = dev.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("adev").alias("m"),
+        F.max("g").alias("g"),
+    )
+    cp = (
+        dev.crossJoin(F.broadcast(s.select(F.col("m").alias("mx"))))
+        .filter(F.col("adev") == F.col("mx"))
+        .agg(F.min("day").alias("bd"))
+    )
+    n, m, g = F.col("n"), F.col("m"), F.col("g")
+    return (
+        s.crossJoin(F.broadcast(cp))
+        .select(
+            n.alias("n_days"),
+            F.round(
+                m.cast("double")
+                * F.sqrt(n.cast("double"))
+                / (n.cast("double") * g.cast("double")),
+                4,
+            ).alias("stat_sqrt_n"),
+            F.date_format("bd", "yyyy-MM-dd").alias("break_day"),
+            (
+                625.0 * n * m.cast("double") * m.cast("double")
+                > 1156.0
+                * (n.cast("double") * g.cast("double"))
+                * (n.cast("double") * g.cast("double"))
+            ).alias("unstable_variance"),
+        )
+    )
+
+
+@register(
+    "agg_bws_test",
+    """
+    WITH daily AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+                   AS smp,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT smp,
+               CAST(row_number() OVER (ORDER BY cents, smp, day)
+                    AS BIGINT) AS r,
+               CAST(row_number() OVER (PARTITION BY smp
+                                       ORDER BY cents, day)
+                    AS BIGINT) AS i,
+               CAST(count(*) OVER (PARTITION BY smp) AS BIGINT) AS ni,
+               CAST(count(*) OVER () AS BIGINT) AS nn
+        FROM daily
+    ),
+    b AS (
+        SELECT smp,
+               sum(
+                   (CAST(r AS DOUBLE) - CAST(nn AS DOUBLE) / ni * i)
+                   * (CAST(r AS DOUBLE) - CAST(nn AS DOUBLE) / ni * i)
+                   / (CAST(i AS DOUBLE) / (ni + 1)
+                      * (1 - CAST(i AS DOUBLE) / (ni + 1))
+                      * ((nn - ni) * CAST(nn AS DOUBLE) / ni))
+               ) / max(ni) AS bpart,
+               CAST(max(ni) AS BIGINT) AS ni
+        FROM rc GROUP BY smp
+    ),
+    piv AS (
+        SELECT max(CASE WHEN smp = 1 THEN bpart END) AS bx,
+               max(CASE WHEN smp = 1 THEN ni END) AS n1,
+               max(CASE WHEN smp = 2 THEN bpart END) AS by,
+               max(CASE WHEN smp = 2 THEN ni END) AS n2
+        FROM b
+    )
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           CAST((bx + by) / 2 AS REAL) AS b_stat,
+           CAST((bx + by) / 2 AS REAL) > 2.493 AS significant
+    FROM piv
+    """,
+    tags=("agg", "stats"),
+)
+def agg_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baumgartner-Weiß-Schindler two-sample rank test (1998): a
+    Cramér-von-Mises-style statistic that weights each rank gap by
+    the inverse of its null variance, concentrating power in the
+    tails where KS and CvM are weak: B_X = (1/n1)·Σ_i
+    (R_i − N·i/n1)² / [(i/(n1+1))(1−i/(n1+1))·n2·N/n1], B =
+    (B_X + B_Y)/2, rejecting at 5% when B > 2.493 (the paper's
+    asymptotic critical value, shared textually). Ranks are strict
+    row_numbers with the (cents, smp, day) tiebreak — the BWS
+    no-ties assumption adapted to discrete data the same way on
+    both engines. Per-term variance weights make the sum a rational
+    with irreducible per-i denominators, so B is assembled in
+    doubles and CAST TO FLOAT32 before display AND decision — the
+    engines' aggregation orders may differ by double-ulps, which
+    the float32 cast absorbs (the fn_* float-surface device);
+    the verdict compares the identical float32 against the literal.
+
+    Scale shape: the agg_brunner_munzel shape — one keyed reduce to
+    ≤2·days rows, bounded-axis rank windows, a 2-row reduce."""
+    o = tbl(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(2)
+            .alias("smp"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum((dec2("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    rc = daily.select(
+        "smp",
+        F.row_number()
+        .over(Window.orderBy("cents", "smp", "day"))
+        .cast("long")
+        .alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("smp").orderBy("cents", "day"))
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("smp"))
+        .cast("long")
+        .alias("ni"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("nn"),
+    )
+    term = (
+        (F.col("r").cast("double") - F.col("nn").cast("double") / F.col("ni") * F.col("i"))
+        * (F.col("r").cast("double") - F.col("nn").cast("double") / F.col("ni") * F.col("i"))
+        / (
+            F.col("i").cast("double") / (F.col("ni") + 1)
+            * (1 - F.col("i").cast("double") / (F.col("ni") + 1))
+            * (
+                (F.col("nn") - F.col("ni"))
+                * F.col("nn").cast("double")
+                / F.col("ni")
+            )
+        )
+    )
+    b = rc.groupBy("smp").agg(
+        (F.sum(term) / F.max("ni")).alias("bpart"),
+        F.max("ni").cast("long").alias("ni"),
+    )
+    piv = b.agg(
+        F.max(F.when(F.col("smp") == 1, F.col("bpart"))).alias("bx"),
+        F.max(F.when(F.col("smp") == 1, F.col("ni"))).alias("n1"),
+        F.max(F.when(F.col("smp") == 2, F.col("bpart"))).alias("by"),
+        F.max(F.when(F.col("smp") == 2, F.col("ni"))).alias("n2"),
+    )
+    b32 = ((F.col("bx") + F.col("by")) / 2).cast("float")
+    return piv.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        b32.alias("b_stat"),
+        (b32 > 2.493).alias("significant"),
+    )

@@ -296,9 +296,21 @@ _NESTED_LOOP_OK = {
     # 1-row extremes broadcast over the bounded daily axis (the
     # ts_resample_gapfill 1-row pattern)
     "agg_tukey_quick",
+    # 1-row med8 reduce × 1-row exact-F2 reduce (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_ams_f2",
+    # 1-row customer-count broadcast over the ranked table (the
+    # agg_ansari_bradley pattern)
+    "agg_palma_ratio",
+    # 1-row count then 1-row clamp-cutoff broadcasts over the ranked
+    # table (the agg_palma_ratio pattern, twice)
+    "agg_winsorized_mean",
     # 1-row max|S| broadcast for the argmax month, then the 1-row
     # statistic × 1-row changepoint join
     "ts_buishand_range",
+    # same 1-row max-deviation broadcast + statistic × changepoint
+    # join as ts_buishand_range
+    "ts_cusum_squares",
     # 1-row column-moment × 1-row square-sum reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_friedman",
@@ -495,12 +507,31 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # identical shape to agg_brunner_munzel (shared placement
     # machinery over the bounded per-priority daily series)
     "agg_fligner_policello",
+    # block-ranked rank windows partition by block (api core); the
+    # SinglePartition is the 1-row count broadcast / band reduce
+    "agg_palma_ratio",
+    # block-ranked rank windows partition by block (api core); the
+    # SinglePartition is the 1-row Σry reduce
+    "agg_concentration_index",
+    # block-ranked rank windows partition by block (api core); the
+    # SinglePartitions are the 1-row count/cutoff/clamp reduces
+    "agg_winsorized_mean",
+    # lag windows run over the calendar-bounded daily series (the
+    # ts_* bounded-window shape); SinglePartition is the 1-row
+    # moment reduce
+    "ts_granger_1lag",
     # prefix/lag/count windows run over the calendar-bounded daily
     # series (one row per date — the ts_* bounded-window shape)
     "ts_kpss",
     # prefix/count windows run over the ≤hundreds-of-months series
     # (the ts_* bounded-window shape)
     "ts_buishand_range",
+    # prefix/count windows run over the calendar-bounded daily
+    # series (the ts_* bounded-window shape)
+    "ts_cusum_squares",
+    # combined/within rank windows over the bounded per-priority
+    # daily series (the agg_brunner_munzel shape)
+    "agg_bws_test",
     # the per-season tie-count window runs over the ≤12·years
     # (season × distinct-value) frame; SinglePartitions are the 1-row
     # S/Var reduces
@@ -1359,6 +1390,9 @@ _COLLECT_OK = {
     # unkeyed path only: one row per calendar day of boundary points
     # (keyed path uses a partitioned window, no collect)
     ("api.py", "concurrency_sweep"),
+    # 1-row survivor-count aggregate per peel round (8 rounds, 8 rows
+    # total — the iterative-algorithm round-boundary readout)
+    ("wave56.py", "graph_kcore_peel"),
     # 1-row scalar aggregates (grand totals, maxima, anchors, averages)
     ("analytics3.py", "orders_pareto_abc"),
     ("classics.py", "supplier_top_revenue"),
