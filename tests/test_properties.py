@@ -305,6 +305,15 @@ _NESTED_LOOP_OK = {
     # 1-row count then 1-row clamp-cutoff broadcasts over the ranked
     # table (the agg_palma_ratio pattern, twice)
     "agg_winsorized_mean",
+    # 1-row grand-total broadcast over per-customer spend (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_lorenz_asymmetry",
+    # 1-row total-energy reduce broadcast over the 5-level table
+    # (the ts_resample_gapfill 1-row pattern)
+    "ts_haar_energy",
+    # 1-row grand X̄/R̄ reduce broadcast over the ≤weeks-of-history
+    # rows (the ts_resample_gapfill 1-row pattern)
+    "ts_shewhart_xbar",
     # 1-row max|S| broadcast for the argmax month, then the 1-row
     # statistic × 1-row changepoint join
     "ts_buishand_range",
@@ -520,6 +529,14 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # ts_* bounded-window shape); SinglePartition is the 1-row
     # moment reduce
     "ts_granger_1lag",
+    # combined rank window over the bounded per-priority daily
+    # series (the agg_brunner_munzel shape); SinglePartition is the
+    # 1-row score-moment reduce
+    "agg_lepage",
+    # the dyadic-index rank window runs over the calendar-bounded
+    # daily series (the ts_* bounded-window shape); SinglePartition
+    # covers the 1-row total-energy reduce
+    "ts_haar_energy",
     # prefix/lag/count windows run over the calendar-bounded daily
     # series (one row per date — the ts_* bounded-window shape)
     "ts_kpss",
