@@ -1,0 +1,646 @@
+"""§2 extensions, eighty-third wave — exploratory two-way
+decomposition, multi-rater agreement, robust variance homogeneity,
+and zigzag-rank dispersion (published-method cadence).
+
+- agg_median_polish: Tukey's median polish (1977 EDA) of the
+  priority × weekday revenue table — two full row/column sweeps in
+  exact integers (odd-sized medians are order statistics).
+- agg_fleiss_kappa: Fleiss' kappa (1971) — do the five priorities
+  agree on which weeks are high/mid/low revenue terciles?
+- agg_brown_forsythe: the Brown-Forsythe robust variance
+  homogeneity test (1974) — ANOVA on |x − median| via the exact
+  stratified-median and one-way-ANOVA machinery.
+- agg_siegel_tukey: the Siegel-Tukey zigzag-rank scale test (1960)
+  — dispersion by Wilcoxon on end-alternating ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_deliver_spark import api
+from hadoop_deliver_spark.registry import register
+from hadoop_deliver_spark.tables import dec2, tbl
+
+# χ²₄ upper-5% critical value (Brown-Forsythe verdict, k−1 = 4)
+_CHI2_4_95 = "9.487729"
+
+
+def _mp_cell_sql() -> str:
+    return """
+    cell AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS pr,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-05') % 7
+                   AS dow,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    )"""
+
+
+def _mp_sweep_sql(i: int, prev: str) -> str:
+    """One full polish iteration (row step then column step) on the
+    residual table r{prev} with effect tables re{prev}/ce{prev}/g{prev}."""
+    return f""",
+    rm{i} AS (SELECT pr, CAST(list_sort(list(v))[4] AS BIGINT) AS m
+              FROM {prev} GROUP BY pr),
+    cem{i} AS (SELECT CAST(list_sort(list(e))[4] AS BIGINT) AS m
+               FROM ce{i - 1}),
+    rowstep{i} AS (
+        SELECT r.pr, r.dow, r.v - rm{i}.m AS v
+        FROM {prev} r JOIN rm{i} ON rm{i}.pr = r.pr
+    ),
+    re{i}a AS (
+        SELECT re.pr, re.e + rm{i}.m AS e
+        FROM re{i - 1} re JOIN rm{i} ON rm{i}.pr = re.pr
+    ),
+    ce{i}a AS (SELECT dow, e - (SELECT m FROM cem{i}) AS e
+               FROM ce{i - 1}),
+    g{i}a AS (SELECT g + (SELECT m FROM cem{i}) AS g FROM g{i - 1}),
+    cm{i} AS (SELECT dow, CAST(list_sort(list(v))[3] AS BIGINT) AS m
+              FROM rowstep{i} GROUP BY dow),
+    rem{i} AS (SELECT CAST(list_sort(list(e))[3] AS BIGINT) AS m
+               FROM re{i}a),
+    r{i} AS (
+        SELECT r.pr, r.dow, r.v - cm{i}.m AS v
+        FROM rowstep{i} r JOIN cm{i} ON cm{i}.dow = r.dow
+    ),
+    ce{i} AS (
+        SELECT ce.dow, ce.e + cm{i}.m AS e
+        FROM ce{i}a ce JOIN cm{i} ON cm{i}.dow = ce.dow
+    ),
+    re{i} AS (SELECT pr, e - (SELECT m FROM rem{i}) AS e FROM re{i}a),
+    g{i} AS (SELECT g + (SELECT m FROM rem{i}) AS g FROM g{i}a)"""
+
+
+_MP_SQL = (
+    "WITH "
+    + _mp_cell_sql()
+    + """,
+    r0 AS (SELECT pr, dow, v FROM cell),
+    re0 AS (SELECT DISTINCT pr, CAST(0 AS BIGINT) AS e FROM cell),
+    ce0 AS (SELECT DISTINCT dow, CAST(0 AS BIGINT) AS e FROM cell),
+    g0 AS (SELECT CAST(0 AS BIGINT) AS g)"""
+    + _mp_sweep_sql(1, "r0")
+    + _mp_sweep_sql(2, "r1")
+    + """
+    SELECT 'grand' AS component, CAST(-1 AS BIGINT) AS key,
+           CAST(g AS BIGINT) AS effect_cents FROM g2
+    UNION ALL
+    SELECT 'priority', CAST(pr AS BIGINT), CAST(e AS BIGINT) FROM re2
+    UNION ALL
+    SELECT 'weekday', CAST(dow AS BIGINT), CAST(e AS BIGINT) FROM ce2
+    ORDER BY component, key
+"""
+)
+
+
+@register("agg_median_polish", _MP_SQL, tags=("agg", "stats"))
+def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's median polish (Exploratory Data Analysis, 1977) of the
+    5-priority × 7-weekday revenue table: alternately subtract row
+    and column medians, accumulating them into row/column effects
+    and the grand effect — the outlier-resistant twin of the two-way
+    ANOVA decomposition. TWO full sweeps, fixed (the bounded-
+    unrolling contract, as in graph_kcore_peel); with 7 cells per
+    row and 5 per column the medians are single order statistics
+    (4th of 7, 3rd of 5) so EVERY quantity stays an exact integer —
+    no halving, no floats anywhere. Effect polishing follows the
+    textbook schedule: each row (column) step also re-centers the
+    opposite effects by their median, folding it into the grand
+    effect. Output: 13 rows — grand, five priority effects, seven
+    weekday effects (epoch-anchored dow, 0 = Monday).
+
+    Scale shape: ONE keyed reduce of the fact table to the 35-cell
+    grid; all sweeps are grid-bounded aggregates (collect_list of ≤7
+    values per row) — corpus size only touches the first reduce."""
+    o = tbl(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pr"),
+        (
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-05").cast("date")
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(
+        F.sum((dec2("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    resid = cell
+    re = cell.select("pr").distinct().withColumn(
+        "e", F.lit(0).cast("long")
+    )
+    ce = cell.select("dow").distinct().withColumn(
+        "e", F.lit(0).cast("long")
+    )
+    grand = spark.range(1).select(F.lit(0).cast("long").alias("g"))
+
+    def med(df, key, val, k):
+        return df.groupBy(key).agg(
+            F.sort_array(F.collect_list(val))[k].cast("long").alias("m")
+        )
+
+    def med0(df, val, k):
+        return df.agg(
+            F.sort_array(F.collect_list(val))[k].cast("long").alias("m")
+        )
+
+    for _ in range(2):
+        rm = med(resid, "pr", "v", 3)
+        cem = med0(ce, "e", 3)
+        resid = resid.join(F.broadcast(rm), "pr").select(
+            "pr", "dow", (F.col("v") - F.col("m")).alias("v")
+        )
+        re = re.join(F.broadcast(rm), "pr").select(
+            "pr", (F.col("e") + F.col("m")).alias("e")
+        )
+        ce = ce.crossJoin(F.broadcast(cem)).select(
+            "dow", (F.col("e") - F.col("m")).alias("e")
+        )
+        grand = grand.crossJoin(F.broadcast(cem)).select(
+            (F.col("g") + F.col("m")).alias("g")
+        )
+        cm = med(resid, "dow", "v", 2)
+        rem = med0(re, "e", 2)
+        resid = resid.join(F.broadcast(cm), "dow").select(
+            "pr", "dow", (F.col("v") - F.col("m")).alias("v")
+        )
+        ce = ce.join(F.broadcast(cm), "dow").select(
+            "dow", (F.col("e") + F.col("m")).alias("e")
+        )
+        re = re.crossJoin(F.broadcast(rem)).select(
+            "pr", (F.col("e") - F.col("m")).alias("e")
+        )
+        grand = grand.crossJoin(F.broadcast(rem)).select(
+            (F.col("g") + F.col("m")).alias("g")
+        )
+    out = (
+        grand.select(
+            F.lit("grand").alias("component"),
+            F.lit(-1).cast("long").alias("key"),
+            F.col("g").cast("long").alias("effect_cents"),
+        )
+        .unionAll(
+            re.select(
+                F.lit("priority").alias("component"),
+                F.col("pr").cast("long").alias("key"),
+                F.col("e").cast("long").alias("effect_cents"),
+            )
+        )
+        .unionAll(
+            ce.select(
+                F.lit("weekday").alias("component"),
+                F.col("dow").cast("long").alias("key"),
+                F.col("e").cast("long").alias("effect_cents"),
+            )
+        )
+    )
+    return out.orderBy("component", "key")
+
+
+@register(
+    "agg_fleiss_kappa",
+    """
+    WITH wk AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                    WHEN o_orderpriority = '2-HIGH' THEN 2
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 3
+                    WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 4
+                    ELSE 5 END AS rater,
+               strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                   AS week,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    common AS (
+        SELECT week FROM wk GROUP BY week HAVING count(*) = 5
+    ),
+    rk AS (
+        SELECT wk.rater, wk.week,
+               row_number() OVER (PARTITION BY wk.rater
+                                  ORDER BY wk.cents, wk.week) AS r,
+               count(*) OVER (PARTITION BY wk.rater) AS n
+        FROM wk JOIN common USING (week)
+    ),
+    cat AS (
+        SELECT rater, week,
+               1 + (3 * (r - 1)) // n AS c
+        FROM rk
+    ),
+    cnt AS (
+        SELECT week, c, CAST(count(*) AS BIGINT) AS nc
+        FROM cat GROUP BY week, c
+    ),
+    s AS (
+        SELECT CAST(count(DISTINCT week) AS BIGINT) AS nw,
+               CAST(sum(nc * (nc - 1)) AS BIGINT) AS a
+        FROM cnt
+    ),
+    tc AS (
+        SELECT CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS t2
+        FROM (SELECT c, CAST(sum(nc) AS BIGINT) AS t
+              FROM cnt GROUP BY c)
+    )
+    SELECT nw AS n_weeks,
+           round(CAST(a AS DOUBLE) / (20.0 * nw), 6) AS p_bar,
+           round(CAST(t2 AS DOUBLE) / (25.0 * nw * nw), 6) AS p_e,
+           round((CAST(a AS DOUBLE) / (20.0 * nw)
+                  - CAST(t2 AS DOUBLE) / (25.0 * nw * nw))
+                 / (1 - CAST(t2 AS DOUBLE) / (25.0 * nw * nw)), 6)
+               AS kappa,
+           CAST(5 AS HUGEINT) * nw * a > 4 * t2
+               AS agreement_above_chance
+    FROM s CROSS JOIN tc
+    """,
+    tags=("agg", "stats"),
+)
+def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (1971) for multi-rater categorical agreement:
+    the five priorities "rate" each full week by assigning it to a
+    within-priority revenue tercile (balanced cut 1 + 3(r−1)÷n on
+    the exact rank — the deterministic discretization both engines
+    share); κ measures agreement above chance. Only weeks where all
+    five raters have orders participate (n = 5 raters per item
+    exactly). With A = Σ_w Σ_c n_wc(n_wc−1) and T_c = Σ_w n_wc:
+    P̄ = A/(20·N), P_e = ΣT_c²/(25N²), and the headline κ > 0
+    verdict clears denominators exactly: 125·N·A > 4·ΣT_c²
+    (DECIMAL(38)/HUGEINT). κ, P̄, P_e are display-only fixed-order
+    doubles. The dual rank windows partition per rater over the
+    calendar-bounded weekly series.
+
+    Scale shape: one keyed reduce to the (rater × week) grid, rank
+    windows over that bounded axis, two grid reduces."""
+    o = tbl(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("rater"),
+        F.date_format(
+            F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd"
+        ).alias("week"),
+    ).agg(
+        F.sum((dec2("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    common = (
+        wk.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 5)
+        .select("week")
+    )
+    joined = wk.join(F.broadcast(common), "week")
+    w_r = Window.partitionBy("rater").orderBy("cents", "week")
+    w_n = Window.partitionBy("rater")
+    cat = joined.select(
+        "rater",
+        "week",
+        F.row_number().over(w_r).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+    ).select(
+        "rater", "week", F.expr("1 + (3 * (r - 1)) div n").alias("c")
+    )
+    cnt = cat.groupBy("week", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    s = cnt.agg(
+        F.count_distinct("week").cast("long").alias("nw"),
+        F.sum(F.col("nc") * (F.col("nc") - 1)).cast("long").alias("a"),
+    )
+    tc = (
+        cnt.groupBy("c")
+        .agg(F.sum("nc").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias(
+                "t2"
+            )
+        )
+    )
+    nw, a, t2 = F.col("nw"), F.col("a"), F.col("t2")
+    p_bar = a.cast("double") / (20.0 * nw)
+    p_e = t2.cast("double") / (25.0 * nw * nw)
+    return s.crossJoin(F.broadcast(tc)).select(
+        nw.alias("n_weeks"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1 - p_e), 6).alias("kappa"),
+        (5 * nw.cast("decimal(38,0)") * a > 4 * t2).alias(
+            "agreement_above_chance"
+        ),
+    )
+
+
+@register(
+    "agg_brown_forsythe",
+    f"""
+    WITH base AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS s,
+               o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    rk AS (
+        SELECT s, cents,
+               row_number() OVER (PARTITION BY s
+                                  ORDER BY cents, o_orderkey) AS r,
+               count(*) OVER (PARTITION BY s) AS n
+        FROM base
+    ),
+    md AS (
+        SELECT s,
+               CAST(sum(CASE WHEN 2 * r = n OR 2 * r = n + 2
+                                  OR 2 * r = n + 1
+                             THEN cents ELSE 0 END)
+                    * CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END
+                    AS BIGINT) AS med2
+        FROM rk GROUP BY s
+    ),
+    z AS (
+        SELECT b.s, abs(2 * b.cents - md.med2) AS z2
+        FROM base b JOIN md ON md.s = b.s
+    ),
+    g AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z2) AS BIGINT) AS t,
+               CAST(sum(CAST(z2 AS HUGEINT) * z2) AS HUGEINT) AS u
+        FROM z GROUP BY s
+    ),
+    piv AS (
+        SELECT
+            {", ".join(
+                f"max(CASE WHEN s = {i} THEN {m} END) AS {m}{i}"
+                for i in range(1, 6)
+                for m in ("n", "t", "u")
+            )}
+        FROM g
+    ),
+    m AS (
+        SELECT CAST(n1 + n2 + n3 + n4 + n5 AS BIGINT) AS nn,
+               CAST(t1 + t2 + t3 + t4 + t5 AS BIGINT) AS tt,
+               CAST(t1 AS DOUBLE) * t1 / n1 + CAST(t2 AS DOUBLE) * t2 / n2
+                   + CAST(t3 AS DOUBLE) * t3 / n3
+                   + CAST(t4 AS DOUBLE) * t4 / n4
+                   + CAST(t5 AS DOUBLE) * t5 / n5 AS btw,
+               CAST(u1 + u2 + u3 + u4 + u5 AS HUGEINT) AS uu
+        FROM piv
+    )
+    SELECT nn AS n_orders,
+           round((btw - CAST(tt AS DOUBLE) * tt / nn) / 4
+                 / ((CAST(uu AS DOUBLE) - btw) / (nn - 5)), 4) AS f_stat,
+           (btw - CAST(tt AS DOUBLE) * tt / nn) * (nn - 5)
+               > {_CHI2_4_95} * (CAST(uu AS DOUBLE) - btw)
+               AS variances_differ
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust variance-homogeneity test (1974): the
+    Levene family with the MEDIAN center — one-way ANOVA on the
+    absolute deviations z = |x − med_g| across the five priorities,
+    robust to the heavy tails that wreck Bartlett's test. Group
+    medians come from the stratified exact rank (low-cardinality
+    strata → api.exact_stratified_rank, the round-7 verdict's
+    re-plan); DOUBLING clears the even-n half: z2 = |2x − med2| is
+    an exact int64 (med2 = sum of the two middle order statistics,
+    or twice the single middle one), and doubling scales z uniformly
+    so the ANOVA F is unchanged. The (n, T=Σz2, U=Σz2²) triples then
+    run the agg_oneway_anova machinery verbatim: fixed-order pivoted
+    SSB/SSW doubles, verdict SSB·(N−5) > χ²₄(0.95)·SSW with the
+    shared literal.
+
+    Scale shape: one stratified block-ranked pass (windows partition
+    by (stratum, block), never 5 tasks), a 5-row median reduce
+    broadcast back, one keyed moment reduce, a 1-row pivot."""
+    o = tbl(spark, sf_dir, "orders")
+    base = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("s"),
+        "o_orderkey",
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = api.exact_stratified_rank(
+        base, "s", "cents", ["cents", "o_orderkey"], "r"
+    )
+    cnt = ranked.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    md = (
+        ranked.join(F.broadcast(cnt), "s")
+        .groupBy("s")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (2 * F.col("r") == F.col("n"))
+                        | (2 * F.col("r") == F.col("n") + 2)
+                        | (2 * F.col("r") == F.col("n") + 1),
+                        F.col("cents"),
+                    ).otherwise(0)
+                )
+                * F.max(
+                    F.when(F.col("n") % 2 == 1, 2).otherwise(1)
+                )
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    z = base.join(F.broadcast(md), "s").select(
+        "s", F.abs(2 * F.col("cents") - F.col("med2")).alias("z2")
+    )
+    g = z.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z2").cast("long").alias("t"),
+        F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2")).alias("u"),
+    )
+    piv = g.agg(
+        *[
+            F.max(F.when(F.col("s") == i, F.col(m))).alias(f"{m}{i}")
+            for i in range(1, 6)
+            for m in ("n", "t", "u")
+        ]
+    )
+    nn = sum(F.col(f"n{i}") for i in range(2, 6)) + F.col("n1")
+    tt = sum(F.col(f"t{i}") for i in range(2, 6)) + F.col("t1")
+    btw = None
+    for i in range(1, 6):
+        term = F.col(f"t{i}").cast("double") * F.col(f"t{i}") / F.col(
+            f"n{i}"
+        )
+        btw = term if btw is None else btw + term
+    uu = sum(F.col(f"u{i}") for i in range(2, 6)) + F.col("u1")
+    m = piv.select(
+        nn.cast("long").alias("nn"),
+        tt.cast("long").alias("tt"),
+        btw.alias("btw"),
+        uu.alias("uu"),
+    )
+    nn, tt, btw, uu = (
+        F.col("nn"),
+        F.col("tt"),
+        F.col("btw"),
+        F.col("uu"),
+    )
+    ssb = btw - tt.cast("double") * tt / nn
+    ssw = uu.cast("double") - btw
+    return m.select(
+        nn.alias("n_orders"),
+        F.round(ssb / 4 / (ssw / (nn - 5)), 4).alias("f_stat"),
+        (ssb * (nn - 5) > float(_CHI2_4_95) * ssw).alias(
+            "variances_differ"
+        ),
+    )
+
+
+@register(
+    "agg_siegel_tukey",
+    """
+    WITH daily AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+                   AS smp,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT smp,
+               CAST(row_number() OVER (ORDER BY cents, smp, day)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nn
+        FROM daily
+    ),
+    sc AS (
+        SELECT smp,
+               CASE
+                 WHEN 2 * rn <= nn THEN
+                   CASE WHEN rn % 2 = 1 THEN 2 * rn - 1 ELSE 2 * rn END
+                 ELSE
+                   CASE WHEN (nn + 1 - rn) % 2 = 1
+                        THEN 2 * (nn + 1 - rn)
+                        ELSE 2 * (nn + 1 - rn) - 1 END
+               END AS sco
+        FROM rc
+        WHERE NOT (nn % 2 = 1 AND 2 * rn = nn + 1)
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(count(CASE WHEN smp = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN smp = 2 THEN 1 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN smp = 1 THEN sco ELSE 0 END)
+                    AS BIGINT) AS t1,
+               CAST(sum(sco) AS BIGINT) AS st,
+               CAST(sum(CAST(sco AS HUGEINT) * sco) AS HUGEINT) AS s2
+        FROM sc
+    )
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           round((CAST(np AS DOUBLE) * t1 - CAST(n1 AS DOUBLE) * st)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / (np - 1)
+                        * (CAST(np AS DOUBLE) * s2
+                           - CAST(st AS DOUBLE) * st)), 4) AS z,
+           (CAST(np AS DOUBLE) * t1 - CAST(n1 AS DOUBLE) * st)
+           * (CAST(np AS DOUBLE) * t1 - CAST(n1 AS DOUBLE) * st)
+           * (np - 1) * 625
+               > 2401.0 * CAST(n1 AS DOUBLE) * n2
+                 * (CAST(np AS DOUBLE) * s2 - CAST(st AS DOUBLE) * st)
+               AS dispersion_differs
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey scale test (1960): rank the pooled sample in the
+    zigzag end-alternating order (1 to the minimum, 2-3 to the two
+    maxima, 4-5 to the next two minima, …) and run a Wilcoxon on the
+    scores — low scores at the extremes, so a more-dispersed sample
+    collects LOWER scores. The zigzag has the closed form over the
+    depth d = min(rn, N+1−rn): bottom side odd d → 2d−1, even →
+    2d; top side mirrored; the single middle rank is dropped when N
+    is odd (the textbook convention). Scores are exact integers on
+    strict row_number ranks with the (cents, smp, day) tiebreak (the
+    agg_bws_test discrete-data adaptation — Siegel-Tukey assumes no
+    ties); moments use the general linear-rank form (the agg_lepage
+    device): E = n1·s̄, Var = n1n2·Σ(s−s̄)²/(N(N−1)), assembled with
+    exact score sums in one fixed textual double order; the
+    two-sided 5% verdict squares the z form against (49/25)² in the
+    same bit-identical doubles.
+
+    Scale shape: the agg_lepage shape — one keyed reduce, one
+    bounded-axis rank window, a 1-row score-moment reduce."""
+    o = tbl(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(2)
+            .alias("smp"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum((dec2("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    rc = daily.select(
+        "smp",
+        F.row_number()
+        .over(Window.orderBy("cents", "smp", "day"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("nn"),
+    )
+    rn, nn = F.col("rn"), F.col("nn")
+    d_top = nn + 1 - rn
+    sco = (
+        F.when(
+            2 * rn <= nn,
+            F.when(rn % 2 == 1, 2 * rn - 1).otherwise(2 * rn),
+        )
+        .otherwise(
+            F.when(d_top % 2 == 1, 2 * d_top).otherwise(2 * d_top - 1)
+        )
+    )
+    sc = rc.filter(~((nn % 2 == 1) & (2 * rn == nn + 1))).select(
+        "smp", sco.alias("sco")
+    )
+    s = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.count(F.when(F.col("smp") == 1, F.lit(1)))
+        .cast("long")
+        .alias("n1"),
+        F.count(F.when(F.col("smp") == 2, F.lit(1)))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("smp") == 1, F.col("sco")).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum("sco").cast("long").alias("st"),
+        F.sum(F.col("sco").cast("decimal(38,0)") * F.col("sco")).alias(
+            "s2"
+        ),
+    )
+    np_, n1, n2 = F.col("np"), F.col("n1"), F.col("n2")
+    t1, st, s2 = F.col("t1"), F.col("st"), F.col("s2")
+    num = np_.cast("double") * t1 - n1.cast("double") * st
+    ssd = np_.cast("double") * s2 - st.cast("double") * st
+    return s.select(
+        n1.alias("n_urgent"),
+        n2.alias("n_low"),
+        F.round(
+            num
+            / F.sqrt(
+                n1.cast("double") * n2 / (np_ - 1) * ssd
+            ),
+            4,
+        ).alias("z"),
+        (num * num * (np_ - 1) * 625 > 2401.0 * n1.cast("double") * n2 * ssd).alias(
+            "dispersion_differs"
+        ),
+    )

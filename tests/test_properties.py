@@ -308,6 +308,12 @@ _NESTED_LOOP_OK = {
     # 1-row grand-total broadcast over per-customer spend (the
     # ts_resample_gapfill 1-row pattern)
     "agg_lorenz_asymmetry",
+    # 1-row effect-median broadcasts over the 35-cell polish grid
+    # (the ts_resample_gapfill 1-row pattern, per sweep)
+    "agg_median_polish",
+    # 1-row tie-sum reduce × 1-row week-count reduce (the
+    # ts_resample_gapfill 1-row pattern)
+    "agg_fleiss_kappa",
     # 1-row total-energy reduce broadcast over the 5-level table
     # (the ts_resample_gapfill 1-row pattern)
     "ts_haar_energy",
@@ -533,6 +539,22 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # series (the agg_brunner_munzel shape); SinglePartition is the
     # 1-row score-moment reduce
     "agg_lepage",
+    # zigzag-score rank window over the bounded per-priority daily
+    # series (the agg_lepage shape)
+    "agg_siegel_tukey",
+    # per-rater rank windows over the calendar-bounded weekly grid;
+    # SinglePartitions are the 1-row A/T² reduces
+    "agg_fleiss_kappa",
+    # the lag window partitions by user over the raw events (the
+    # graph_pagerank edge fixture); SinglePartition is the 1-row
+    # reciprocity reduce
+    "graph_reciprocity",
+    # per-half rank windows over the two calendar halves;
+    # SinglePartition is the 1-row trace reduce
+    "customers_shorrocks_mobility",
+    # stratified block-ranked rank windows partition by (stratum,
+    # block) (api core); SinglePartition is the 1-row ANOVA pivot
+    "agg_brown_forsythe",
     # the dyadic-index rank window runs over the calendar-bounded
     # daily series (the ts_* bounded-window shape); SinglePartition
     # covers the 1-row total-energy reduce
