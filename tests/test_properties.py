@@ -535,6 +535,12 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # ts_* bounded-window shape); SinglePartition is the 1-row
     # moment reduce
     "ts_granger_1lag",
+    # same bounded-axis lag window + 1-row moment reduce as
+    # ts_granger_1lag
+    "ts_dickey_fuller",
+    # same bounded-axis lag/count windows + 1-row moment reduce as
+    # ts_granger_1lag
+    "ts_arch_lm",
     # combined rank window over the bounded per-priority daily
     # series (the agg_brunner_munzel shape); SinglePartition is the
     # 1-row score-moment reduce
