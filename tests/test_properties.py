@@ -1401,21 +1401,57 @@ def test_rocksdb_session_variant_matches_and_flip_is_real(spark, sf_dir):
         shutil.rmtree(cp, ignore_errors=True)
 
 
-def test_multimodal_decode_gap_is_current():
-    """llm_multimodal_decode stubs the image decoder behind a PIL
-    import gate (operators/llm_text.py) because this container ships
-    no image codecs. Like the transformWithState tripwire above, this
-    fails the moment PIL appears so the documented stub cannot
-    silently outlive its reason."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        return  # gap still real
-    raise AssertionError(
-        "PIL is now importable — wire the real decode path in "
-        "llm_multimodal_decode (replace the stub branch; keep the "
-        "byte-feature stub as the no-codec fallback)"
+def test_multimodal_stub_is_unconditional(spark, duck, sf_dir, monkeypatch):
+    """The three multimodal stubs (llm_multimodal_decode / _resize /
+    _framesample) are the documented `stub-v1` contract and must run
+    UNCONDITIONALLY — behavior may not depend on whether PIL/av happen
+    to be importable (the r9 verdict's top finding: the old import
+    gates flipped green queries to NotImplementedError the moment
+    someone pip-installed pillow). Two assertions: (1) the operator
+    sources contain no PIL/av import probes at all; (2) with fake
+    `PIL` and `av` modules injected into sys.modules (driver) AND
+    shipped to the Python workers via addPyFile, all three queries
+    still return the oracle-matching stub result."""
+    import os
+    import sys
+    import tempfile
+    import types
+
+    from hadoop_deliver_spark.registry import load_all
+    from tests.parity import assert_frames_match
+
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "hadoop_deliver_spark", "operators",
     )
+    for fname in ("llm_text.py", "wave5.py"):
+        src = open(os.path.join(pkg_dir, fname)).read()
+        assert "import PIL" not in src and "import av" not in src, (
+            f"{fname} reintroduced a codec import gate — the stub "
+            "contract is unconditional"
+        )
+
+    # driver-side fakes
+    monkeypatch.setitem(sys.modules, "PIL", types.ModuleType("PIL"))
+    monkeypatch.setitem(sys.modules, "av", types.ModuleType("av"))
+    # worker-side fakes: real importable modules shipped to executors
+    with tempfile.TemporaryDirectory() as tmp:
+        for mod in ("PIL", "av"):
+            path = os.path.join(tmp, f"{mod}.py")
+            with open(path, "w") as f:
+                f.write(f"# fake {mod} for the unconditional-stub test\n")
+            spark.sparkContext.addPyFile(path)
+
+        registry = load_all()
+        for name in (
+            "llm_multimodal_decode",
+            "llm_multimodal_resize",
+            "llm_multimodal_framesample",
+        ):
+            q = registry[name]
+            spdf = q.fn(spark, sf_dir).toPandas()
+            dpdf = duck.execute(q.oracle).df()
+            assert_frames_match(spdf, dpdf, name)
 
 
 # Every .collect() in the engine package, as (file, function), each with
