@@ -1029,6 +1029,7 @@ def containment_pairs(
     threshold: float = 0.85,
     char_k: int = 5,
     refine: str = "auto",
+    max_df_permille: int | None = None,
 ) -> DataFrame:
     """EXACT character-k-gram containment pairs
     (inner_id, outer_id, containment float) with
@@ -1049,10 +1050,22 @@ def containment_pairs(
     ``array_intersect`` past it (``refine=`` "auto"/"bitmap"/
     "shuffle"; both paths pinned exact by the parametrized property
     fuzz). Containment has NO upper size-ratio bound, so candidate
-    fan-out is larger than the Jaccard twin's — at corpus scale cap
-    gram document-frequency (drop grams in >X% of docs) or shard the
-    outer side. Driver-side state: two scalar collects (max gram id,
-    corpus count). Fault-tolerance note: the gram-set stage is
+    fan-out is larger than the Jaccard twin's — the 100 TB answer is
+    the gram document-frequency cap: ``max_df_permille=P`` DROPS
+    every gram appearing in more than P‰ of documents from the gram
+    universe (both sides, numerator AND denominator — a stated
+    semantics knob, not an approximation of uncapped containment:
+    C is computed exactly over the capped gram space, and documents
+    whose capped gram set is empty are excluded). The predicate is
+    exact-integer (1000·df ≤ P·ndocs), so an oracle can mirror it
+    byte-for-byte. High-df grams are precisely the posting lists
+    that blow up the candidate join AND carry the least evidence of
+    containment (boilerplate n-grams), so the cap converts the
+    quadratic hot keys into a bounded fan-out: every surviving
+    posting list is ≤ P‰ of the corpus. Driver-side state: two or
+    three scalar collects (max gram id, corpus count, and with the
+    cap the pre-cap doc count). Fault-tolerance note: the gram-set
+    stage is
     ``localCheckpoint``-ed — same immediate-job / truncated-lineage
     trade as :func:`jaccard_pairs`; materialize the gram stage
     upstream if recomputation-on-loss matters.
@@ -1061,7 +1074,7 @@ def containment_pairs(
     """
     t = threshold
     grams, inv, gdf, cands = _containment_parts(
-        df, id_col, text_col, t, char_k
+        df, id_col, text_col, t, char_k, max_df_permille=max_df_permille
     )
     if refine not in ("auto", "bitmap", "shuffle"):
         raise ValueError(f"refine must be auto|bitmap|shuffle, got {refine!r}")
@@ -1139,15 +1152,46 @@ def containment_pairs(
 
 
 def _containment_parts(
-    df: DataFrame, id_col: str, text_col: str, t: float, char_k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t: float,
+    char_k: int,
+    max_df_permille: int | None = None,
 ):
     """Candidate stage of :func:`containment_pairs`, shared with the
-    candidate-volume plan guard. Returns (grams, inv, gdf, cands)."""
+    candidate-volume plan guard. Returns (grams, inv, gdf, cands).
+
+    With ``max_df_permille=P`` the gram universe is first capped to
+    grams whose document frequency satisfies 1000·df ≤ P·ndocs (an
+    exact-integer predicate an oracle can mirror); per-doc gram sets
+    are rebuilt over the capped vocabulary (sort_array(collect_set)
+    keeps the array canonical) and docs left with no grams drop out.
+    The cap is the published web-dedup fan-out bound: no surviving
+    posting list exceeds P‰ of the corpus, so the prefix×posting
+    candidate join has bounded per-key fan-out at any corpus size."""
     # localCheckpoint, not cache() — same storage-lifecycle argument
     # as jaccard_pairs/minhash_pairs
     grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
         eager=True
     )
+    if max_df_permille is not None:
+        ndocs = grams.count()
+        inv0 = grams.select(id_col, F.explode("gs").alias("_cp_g"))
+        # vocab is tiny relative to postings (distinct k-grams):
+        # the kept-gram list broadcasts
+        keep = (
+            inv0.groupBy("_cp_g")
+            .agg(F.count(F.lit(1)).alias("_cp_df"))
+            .where(F.col("_cp_df") * 1000 <= F.lit(max_df_permille * ndocs))
+            .select("_cp_g")
+        )
+        grams = (
+            inv0.join(F.broadcast(keep), "_cp_g")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("_cp_g")).alias("gs"))
+            .localCheckpoint(eager=True)
+        )
     inv = grams.select(
         id_col, F.size("gs").alias("_cp_n"), F.explode("gs").alias("_cp_g")
     )

@@ -77,7 +77,12 @@ _EXACT_JACCARD_SQL = f"""
     WITH sets AS ({_SHINGLE_SET_SQL}),
     inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh
             FROM sets),
-    sdf AS (SELECT sh, count(*) AS df FROM inv GROUP BY sh),
+    -- AS MATERIALIZED on sdf + words only (r10 oracle trim, same
+    -- finding as the llm_dedup_ngram_jaccard oracle): each is
+    -- referenced twice and DuckDB re-inlines plain CTEs per
+    -- reference; pinning inv/ranked/cands instead regresses badly
+    -- (kills the rk-filter pushdown into the window).
+    sdf AS MATERIALIZED (SELECT sh, count(*) AS df FROM inv GROUP BY sh),
     ranked AS (
         SELECT i.doc_id, i.n, i.sh,
                row_number() OVER (PARTITION BY i.doc_id
@@ -99,7 +104,7 @@ _EXACT_JACCARD_SQL = f"""
     gid AS (SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INT)
                    AS gid
             FROM sdf),
-    words AS (
+    words AS MATERIALIZED (
         SELECT i.doc_id, any_value(i.n) AS n, x.gid // 64 AS chunk,
                bit_or(CAST(1 AS UBIGINT) << (x.gid % 64)) AS w
         FROM inv i JOIN gid x USING (sh)

@@ -51,7 +51,14 @@ LANG_MARKERS = {
         FROM documents
     ),
     inv AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams),
-    gdf AS (SELECT g, count(*) AS gdf FROM inv GROUP BY g),
+    -- AS MATERIALIZED on gdf + words only (r10 oracle trim): each is
+    -- referenced twice (gdf by ranked+gid, words by wa+wb), and
+    -- DuckDB re-inlines a plain CTE per reference — re-running the
+    -- whole unnest chain. Measured at sf0.1: 18.1s default, 4.2s
+    -- with these two pinned; materializing inv/ranked/cands instead
+    -- REGRESSES to 40-96s (kills the rk-filter pushdown), so the
+    -- pin set is deliberately minimal.
+    gdf AS MATERIALIZED (SELECT g, count(*) AS gdf FROM inv GROUP BY g),
     ranked AS (
         SELECT i.doc_id, i.n, i.g,
                row_number() OVER (PARTITION BY i.doc_id
@@ -81,7 +88,7 @@ LANG_MARKERS = {
     gid AS (SELECT g, CAST(row_number() OVER (ORDER BY g) - 1 AS INT)
                    AS gid
             FROM gdf),
-    words AS (
+    words AS MATERIALIZED (
         SELECT i.doc_id, any_value(i.n) AS n, x.gid // 64 AS chunk,
                bit_or(CAST(1 AS UBIGINT) << (x.gid % 64)) AS w
         FROM inv i JOIN gid x USING (g)

@@ -120,9 +120,12 @@ _ERR_TERMS = ("table", "scan", "merge", "sort", "key")
 def ts_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chow test (1960) for a structural break in the daily-revenue
     trend: fit y = a + b·x by OLS on each side of the fixed boundary
-    1998-04-15 (mid-fixture literal, shared textually) and on the
-    pooled series, then F = ((RSS_p − RSS₁ − RSS₂)/2)/((RSS₁+RSS₂)/
-    (n−4)). Per segment the moment sums (n, Σx, Σy, Σx², Σxy, Σy²)
+    1998-04-15 (a deliberately LATE break literal, shared textually:
+    the orders calendar spans 1992-01-01..1998-08-02, so segment 2
+    holds only the last ~110 daily observations vs ~2290 in segment
+    1 — the test is still well-defined, and an end-of-series break
+    is the realistic monitoring shape) and on the pooled series,
+    then F = ((RSS_p − RSS₁ − RSS₂)/2)/((RSS₁+RSS₂)/(n−4)). Per segment the moment sums (n, Σx, Σy, Σx², Σxy, Σy²)
     are exact integers (x = days since 1995-01-01, y = daily revenue
     dollars; Σy² promotes to DECIMAL(38)/HUGEINT) and each
     RSS = (S_yy·S_xx − S_xy²)/(n·S_xx) with the n-scaled centered

@@ -104,8 +104,10 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it sparse). Triangles come from the oriented u<v<w
     three-edge join, each triangle exploded to its three corners and
     counted per node — t_i and d_i exact int64s; the coefficient is
-    one display division (d(d−1) denominators don't terminate at the
-    6th decimal, so round is tie-free). Nodes of degree < 2 (C
+    one display division; round-6 is tie-free because a consecutive-
+    integer product d(d−1) is of the form 2^a·5^b only for d∈{2,5},
+    and those expansions (2t/2, 2t/20) terminate before the 7th digit,
+    so no half-tie can land on the rounding boundary. Nodes of degree < 2 (C
     undefined) are excluded; zero-triangle nodes report C = 0.
 
     Scale shape: the projection is a customer-keyed equi-join; the
@@ -480,6 +482,16 @@ def agg_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' aggregation orders may differ by double-ulps, which
     the float32 cast absorbs (the fn_* float-surface device);
     the verdict compares the identical float32 against the literal.
+    Drift envelope: the sum has ≤ 2·days ≈ 4.8k terms, each O(1)
+    after the 1/Var_i weighting, so accumulated order drift is
+    ≤ ~4.8k·ulp(double at B≈2.5) ≈ 4.8k·4.4e-16 ≈ 2.1e-12 — nine
+    orders of magnitude inside float32 resolution at 2.5 (ulp ≈
+    2.4e-7), and a fixture B landing within 2.4e-7 of 2.493 would
+    be visible in the committed value (it is not: both samples sit
+    far from the threshold). The float32 verdict is therefore
+    stable across engines/runs for this fixture family; a mobile
+    fixture would need the fixed-order pivot
+    (agg_hellinger_distance's device) instead.
 
     Scale shape: the agg_brunner_munzel shape — one keyed reduce to
     ≤2·days rows, bounded-axis rank windows, a 2-row reduce."""

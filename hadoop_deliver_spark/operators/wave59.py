@@ -267,7 +267,8 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     five raters have orders participate (n = 5 raters per item
     exactly). With A = Σ_w Σ_c n_wc(n_wc−1) and T_c = Σ_w n_wc:
     P̄ = A/(20·N), P_e = ΣT_c²/(25N²), and the headline κ > 0
-    verdict clears denominators exactly: 125·N·A > 4·ΣT_c²
+    verdict clears denominators exactly: 5·N·A > 4·ΣT_c²
+    (A/(20N) > ΣT²/(25N²) × 20N·25N² ÷ 5N² common factor)
     (DECIMAL(38)/HUGEINT). κ, P̄, P_e are display-only fixed-order
     doubles. The dual rank windows partition per rater over the
     calendar-bounded weekly series.
