@@ -1171,7 +1171,12 @@ def _containment_parts(
     posting list exceeds P‰ of the corpus, so the prefix×posting
     candidate join has bounded per-key fan-out at any corpus size."""
     # localCheckpoint, not cache() — same storage-lifecycle argument
-    # as jaccard_pairs/minhash_pairs
+    # as jaccard_pairs/minhash_pairs. With the cap there are TWO
+    # checkpoints, and both earn their keep (measured at sf0.1): the
+    # gram-set expression (transform + array_distinct over ~500-char
+    # texts) costs ~7 s per evaluation, and the capped rebuild needs
+    # it twice (df count + posting rebuild) — checkpointing the raw
+    # arrays first turns both consumers into ~1 s scans.
     grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
         eager=True
     )
@@ -1197,20 +1202,77 @@ def _containment_parts(
     )
     gdf = inv.groupBy("_cp_g").agg(F.count(F.lit(1)).alias("_cp_gdf"))
     wg = Window.partitionBy(id_col).orderBy("_cp_gdf", "_cp_g")
-    prefix = (
-        inv.join(F.broadcast(gdf), "_cp_g")
-        .withColumn("_cp_rk", F.row_number().over(wg))
-        .filter(
-            F.col("_cp_rk") <= F.ceil(F.lit(1.0 - t) * F.col("_cp_n")) + 2
-        )
-        .select(F.col(id_col).alias("inner_id"), "_cp_g")
+    ranked = inv.join(F.broadcast(gdf), "_cp_g").withColumn(
+        "_cp_rk", F.row_number().over(wg)
     )
-    full_b = inv.select(F.col(id_col).alias("outer_id"), "_cp_g")
+    prefix = ranked.filter(
+        F.col("_cp_rk") <= F.ceil(F.lit(1.0 - t) * F.col("_cp_n")) + 2
+    ).select(
+        F.col(id_col).alias("inner_id"),
+        F.col("_cp_n").alias("_cp_na"),
+        F.col("_cp_rk").alias("_cp_ra"),
+        "_cp_g",
+    )
+    full_b = ranked.select(
+        F.col(id_col).alias("outer_id"),
+        F.col("_cp_n").alias("_cp_nb"),
+        F.col("_cp_rk").alias("_cp_rb"),
+        "_cp_g",
+    )
+    # Lossless candidate pruning (all three applied before the
+    # pair-level aggregate):
+    # 1. orientation — the final result only keeps pairs whose inner
+    #    side is the SMALLER gram set (ties by id), and the prefix
+    #    theorem is applied to that inner side, so candidates with
+    #    the prefix on the larger side can never surface;
+    # 2. per-gram GENERALIZED positional filter: for ANY shared gram
+    #    g at ranks (ra, rb), overlap ≤ min(ra−1, rb−1) + 1 +
+    #    min(na−ra, nb−rb) — shared-before plus g plus shared-after.
+    #    (The familiar 1 + min(remainders) is the first-shared-gram
+    #    special case; the general form is needed because filter 3
+    #    counts SURVIVING rows, and for a true pair EVERY shared
+    #    prefix row must survive or the count under-reports.) The
+    #    bound is tested in the SAME divide-form as the final
+    #    C = n_inter/|A| ≥ t filter, so double rounding cannot drop
+    #    a surviving pair;
+    # 3. common-count filter (PPJoin's count bound): a pair with
+    #    n_inter ≥ t·na misses at most ⌊(1−t)·na⌋+1 of A's grams
+    #    (+1 absorbs double slop in (1−t)·na), so it must share at
+    #    least min(prefix_len, na) − ⌊(1−t)·na⌋ − 1 grams of A's
+    #    prefix — ≥ 2 for large docs, which on rare-gram-heavy
+    #    corpora prunes far more than "shares ≥ 1" does.
+    p_eff = F.least(
+        F.ceil(F.lit(1.0 - t) * F.col("_cp_na")) + 2, F.col("_cp_na")
+    )
+    required = F.greatest(
+        F.lit(1),
+        p_eff - (F.floor(F.lit(1.0 - t) * F.col("_cp_na")) + 1),
+    )
     cands = (
         prefix.join(full_b, "_cp_g")
-        .where(F.col("inner_id") != F.col("outer_id"))
+        .where(
+            (F.col("_cp_na") < F.col("_cp_nb"))
+            | (
+                (F.col("_cp_na") == F.col("_cp_nb"))
+                & (F.col("inner_id") < F.col("outer_id"))
+            )
+        )
+        .where(
+            (
+                F.least(F.col("_cp_ra") - 1, F.col("_cp_rb") - 1)
+                + 1
+                + F.least(
+                    F.col("_cp_na") - F.col("_cp_ra"),
+                    F.col("_cp_nb") - F.col("_cp_rb"),
+                )
+            ).cast("double")
+            / F.col("_cp_na")
+            >= t
+        )
+        .groupBy("inner_id", "outer_id", "_cp_na")
+        .agg(F.count(F.lit(1)).alias("_cp_c"))
+        .where(F.col("_cp_c") >= required)
         .select("inner_id", "outer_id")
-        .distinct()
     )
     return grams, inv, gdf, cands
 

@@ -22,57 +22,83 @@ _T = 0.85
 @register(
     "llm_shingle_containment",
     f"""
-    WITH grams AS (
+    WITH grams0 AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(1, length(text) - 3),
                    i -> substr(text, i, 5)
                )) AS gs
-        FROM documents WHERE doc_id % 4 = 0
+        FROM documents
     ),
-    inv AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    inv0 AS (SELECT doc_id, unnest(gs) AS g FROM grams0),
+    nd AS (SELECT count(*) AS ndocs FROM documents),
+    -- the gram document-frequency cap (exact-integer predicate,
+    -- mirrored in the engine): grams in more than 100 per mille of
+    -- documents leave the gram universe entirely
+    keep AS MATERIALIZED (
+        SELECT d.g FROM (SELECT g, count(*) AS df FROM inv0 GROUP BY g) d, nd
+        WHERE d.df * 1000 <= 100 * nd.ndocs
+    ),
+    inv AS MATERIALIZED (
+        SELECT i.doc_id, i.g FROM inv0 i JOIN keep k USING (g)
+    ),
+    sizes AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id
+    ),
     inter AS (
-        SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
-               count(*) AS n_inter
-        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    oriented AS (
+        SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.da < i.db)
+                    THEN i.da ELSE i.db END AS inner_doc,
+               CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.da < i.db)
+                    THEN i.db ELSE i.da END AS outer_doc,
+               i.ni,
+               least(sa.n, sb.n) AS na
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.da
+        JOIN sizes sb ON sb.doc_id = i.db
     )
-    SELECT i.inner_doc, i.outer_doc,
-           CAST(CAST(i.n_inter AS DOUBLE) / len(ga.gs) AS REAL)
-               AS containment
-    FROM inter i
-    JOIN grams ga ON ga.doc_id = i.inner_doc
-    JOIN grams gb ON gb.doc_id = i.outer_doc
-    WHERE CAST(i.n_inter AS DOUBLE) / len(ga.gs) >= {_T}
-      AND (len(ga.gs) < len(gb.gs)
-           OR (len(ga.gs) = len(gb.gs) AND i.inner_doc < i.outer_doc))
+    SELECT inner_doc, outer_doc,
+           CAST(CAST(ni AS DOUBLE) / na AS REAL) AS containment
+    FROM oriented
+    WHERE CAST(ni AS DOUBLE) / na >= {_T}
     ORDER BY inner_doc, outer_doc
     """,
     tags=("llm", "dedup"),
 )
 def llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document near-dup pairs by exact char-5-gram containment
-    C(A,B) = |A∩B|/|A| ≥ 0.85, where A is the smaller gram set (ties
-    broken by doc_id): catches documents embedded in longer ones that
-    symmetric Jaccard misses. Inverted-index join with a prefix
-    filter that is lossless FOR CONTAINMENT: A must share one of its
-    ⌈(1−t)·|A|⌉+1 rarest grams with B (if all of A's prefix grams
-    miss B, fewer than t·|A| grams can intersect), so only the
-    contained side is prefix-pruned and the outer side keeps its full
-    posting list. One gram-keyed shuffle + one pair-keyed count; at
-    100 TB add a gram document-frequency cap exactly as in the
-    Jaccard twin. Restricted to the doc_id % 4 slice — containment
-    posting lists have no upper size-ratio bound, so the demo bounds
-    corpus fan-out by sampling, not by weakening the algorithm.
+    C(A,B) = |A∩B|/|A| ≥ 0.85 over the df-capped gram universe, where
+    A is the smaller gram set (ties broken by doc_id): catches
+    documents embedded in longer ones that symmetric Jaccard misses.
+
+    FULL corpus (the r9 doc_id%4 demo slice is lifted): containment
+    posting lists have no upper size-ratio bound, so the 100 TB
+    fan-out bound is the gram document-frequency cap this op now
+    ships for real — grams appearing in more than 100‰ (10%) of
+    documents are DROPPED from the gram universe (numerator AND
+    denominator; a stated semantics knob: C is exact over the capped
+    space, boilerplate grams carry no containment evidence, and
+    every surviving posting list is ≤10% of the corpus). The cap
+    predicate is exact-integer (1000·df ≤ 100·ndocs) and textually
+    mirrored in the oracle. Candidates: inner-side prefix filter
+    (lossless FOR CONTAINMENT — A must share one of its
+    ⌈(1−t)·|A|⌉+2 rarest capped grams with B) plus the ANY-gram
+    positional filter in the same divide-form as the final
+    C ≥ t comparison; exact refine on bitmap words.
 
     The ratio filters on the DOUBLE value with the same literal as
     the oracle (bit-identical comparison) and emits float32.
 
-    Core: api.containment_pairs (column-parameterized; inner-side
-    prefix filter + api.bitmap_sets refine)."""
+    Core: api.containment_pairs (column-parameterized;
+    max_df_permille cap + inner-side prefix + positional filter +
+    api.bitmap_sets refine)."""
     from hadoop_deliver_spark.api import containment_pairs
 
-    d = tbl(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    d = tbl(spark, sf_dir, "documents")
     return (
         containment_pairs(
             d.select("doc_id", "text"),
@@ -80,6 +106,7 @@ def llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             threshold=_T,
             char_k=5,
+            max_df_permille=100,
         )
         .withColumnsRenamed(
             {"inner_id": "inner_doc", "outer_id": "outer_doc"}
