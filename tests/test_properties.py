@@ -541,10 +541,26 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # same bounded-axis lag/count windows + 1-row moment reduce as
     # ts_granger_1lag
     "ts_arch_lm",
+    # same bounded-axis lag/count windows + 1-row moment reduce as
+    # ts_dickey_fuller
+    "ts_durbin_watson",
+    # same bounded-axis lead/count windows + 1-row moment reduce as
+    # ts_dickey_fuller
+    "ts_yule_walker_pacf",
+    # same bounded-axis row_number/count windows + 1-row moment
+    # reduce as ts_dickey_fuller
+    "ts_breusch_pagan",
     # combined rank window over the bounded per-priority daily
     # series (the agg_brunner_munzel shape); SinglePartition is the
     # 1-row score-moment reduce
     "agg_lepage",
+    # rank window over the bounded per-priority daily series (the
+    # agg_lepage shape); SinglePartition is the 1-row score-moment
+    # reduce
+    "agg_cucconi_test",
+    # rank + cumulative-count windows over the same bounded daily
+    # series; SinglePartition is the 1-row quantized-term reduce
+    "agg_ad_2sample",
     # zigzag-score rank window over the bounded per-priority daily
     # series (the agg_lepage shape)
     "agg_siegel_tukey",
