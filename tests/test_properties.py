@@ -244,6 +244,12 @@ def test_plan_shapes(spark, sf_dir):
 _NESTED_LOOP_OK = {
     "join_cross",          # cross join by spec
     "join_theta_range",    # non-equi theta join by spec
+    # TRUE pairwise cross join of two CALENDAR-BOUNDED daily series
+    # (≤2.4k × ≤2.4k at ANY corpus scale); plus the 1-row total
+    # broadcast
+    "agg_hl_shift_2sample",
+    # 1-row grand-totals broadcast onto the 1-row items pivot
+    "agg_cronbach_alpha",
     "llm_sim_ivf",         # 10-row centroid table broadcast
     # recall summary composes llm_sim_ivf (centroid broadcast) with
     # llm_sim_bruteforce (broadcast probe pass) — both already
@@ -561,6 +567,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # rank + cumulative-count windows over the same bounded daily
     # series; SinglePartition is the 1-row quantized-term reduce
     "agg_ad_2sample",
+    # block-ranked cumsum windows partition by block (api core);
+    # SinglePartition is the 1-row pair-total broadcast
+    "agg_hl_shift_2sample",
     # zigzag-score rank window over the bounded per-priority daily
     # series (the agg_lepage shape)
     "agg_siegel_tukey",
