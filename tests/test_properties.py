@@ -250,6 +250,8 @@ _NESTED_LOOP_OK = {
     "agg_hl_shift_2sample",
     # 1-row grand-totals broadcast onto the 1-row items pivot
     "agg_cronbach_alpha",
+    # 1-row moment frame broadcast onto the screening scan
+    "agg_mahalanobis_outliers",
     "llm_sim_ivf",         # 10-row centroid table broadcast
     # recall summary composes llm_sim_ivf (centroid broadcast) with
     # llm_sim_bruteforce (broadcast probe pass) — both already
@@ -570,6 +572,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # block-ranked cumsum windows partition by block (api core);
     # SinglePartition is the 1-row pair-total broadcast
     "agg_hl_shift_2sample",
+    # bounded-axis count/sum windows over the daily series (the
+    # ts_dickey_fuller shape); SinglePartition is the 1-row 7-bucket
+    # reduce
+    "ts_schuster_weekly",
     # zigzag-score rank window over the bounded per-priority daily
     # series (the agg_lepage shape)
     "agg_siegel_tukey",
