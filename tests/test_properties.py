@@ -576,6 +576,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # ts_dickey_fuller shape); SinglePartition is the 1-row 7-bucket
     # reduce
     "ts_schuster_weekly",
+    # stratified block-ranked tercile windows partition by
+    # (half, block) (api core, the agg_brown_forsythe shape);
+    # SinglePartition is the 1-row 9-cell pivot
+    "customers_stuart_maxwell",
     # zigzag-score rank window over the bounded per-priority daily
     # series (the agg_lepage shape)
     "agg_siegel_tukey",
