@@ -316,8 +316,10 @@ def orders_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats"),
 )
 def ts_schuster_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schuster's periodogram test (1898) for a 7-day cycle in daily
-    revenue — the original hidden-periodicity detector: the
+    """Schuster's periodogram TEST (1898) for a 7-day cycle in daily
+    revenue — where ts_weekly_periodogram (events, per-type) reports
+    the raw power and variance share, this op supplies the missing
+    SIGNIFICANCE decision on the revenue series: the
     periodogram ordinate at the weekly frequency, z = 2·I(1/7)/σ̂²
     = 2(P_c² + P_s²)/(n·Σe²·(1/n²-scale)) ~ χ²₂ under white noise
     (the scale of the n-scaled integer residuals cancels in the

@@ -336,12 +336,14 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "stats"),
 )
 def events_rayleigh_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rayleigh test (1919) of circular uniformity for event
+    """Rayleigh TEST (1919) of circular uniformity for event
     hour-of-day: z = n·R̄² with R̄ the mean resultant length of the
-    24 hourly directions θ_h = 2πh/24 — THE first-line test for
-    diurnal concentration (a unimodal activity peak), complementing
-    the weekday EDF pair (Kuiper/Watson catch any departure; Rayleigh
-    is most powerful against a single von Mises peak). The 24-cell
+    24 hourly directions θ_h = 2πh/24 — where events_circular_mean
+    reports the per-type mean direction and R̄ as ESTIMATES, this op
+    supplies the pooled SIGNIFICANCE decision (is there a diurnal
+    peak at all?), complementing the weekday EDF pair
+    (Kuiper/Watson catch any departure; Rayleigh is most powerful
+    against a single von Mises peak). The 24-cell
     hourly pivot gives exact integer counts; C = Σcos_h·n_h and
     S = Σsin_h·n_h are fixed-order 24-term dot products against
     15-decimal cos/sin LITERALS shared textually by both engines
