@@ -252,6 +252,10 @@ _NESTED_LOOP_OK = {
     "agg_cronbach_alpha",
     # 1-row moment frame broadcast onto the screening scan
     "agg_mahalanobis_outliers",
+    # four 1-row capture-count frames broadcast into one assembly
+    "customers_capture_recapture",
+    # 1-row moment frame × two 1-row top/bottom-3 ladder frames
+    "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
     # recall summary composes llm_sim_ivf (centroid broadcast) with
     # llm_sim_bruteforce (broadcast probe pass) — both already
@@ -580,6 +584,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # (half, block) (api core, the agg_brown_forsythe shape);
     # SinglePartition is the 1-row 9-cell pivot
     "customers_stuart_maxwell",
+    # row_number over the two 3-row TakeOrdered extreme ladders;
+    # SinglePartitions are the 1-row moment/ladder reduces
+    "ts_generalized_esd",
     # zigzag-score rank window over the bounded per-priority daily
     # series (the agg_lepage shape)
     "agg_siegel_tukey",
