@@ -584,6 +584,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # (half, block) (api core, the agg_brown_forsythe shape);
     # SinglePartition is the 1-row 9-cell pivot
     "customers_stuart_maxwell",
+    # same stratified block-ranked tercile frame as
+    # customers_stuart_maxwell
+    "customers_kappa_weighted",
     # row_number over the two 3-row TakeOrdered extreme ladders;
     # SinglePartitions are the 1-row moment/ladder reduces
     "ts_generalized_esd",
