@@ -254,6 +254,8 @@ _NESTED_LOOP_OK = {
     "agg_mahalanobis_outliers",
     # four 1-row capture-count frames broadcast into one assembly
     "customers_capture_recapture",
+    # 1-row t-max cutoff + 1-row τ-ladder scaling-check broadcasts
+    "events_allan_variance",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
     "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
@@ -506,6 +508,12 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # block-ranked rank windows partition by block (api core); the
     # SinglePartition is the 1-row pooled-count broadcast
     "agg_ansari_bradley",
+    # block-ranked midrank windows (api core, the agg_mann_whitney
+    # shape); SinglePartition is the 1-row moment reduce
+    "agg_trend_cuzick",
+    # per-τ lag windows over the calendar-bounded block axis;
+    # SinglePartitions are the 1-row tau/cutoff reduces
+    "events_allan_variance",
     # block-ranked rank windows partition by block (api core); the
     # SinglePartitions are the 1-row W2/tie reduces
     "agg_wilcoxon_signedrank",
