@@ -256,6 +256,11 @@ _NESTED_LOOP_OK = {
     "customers_capture_recapture",
     # 1-row t-max cutoff + 1-row τ-ladder scaling-check broadcasts
     "events_allan_variance",
+    # 1-row backlog-integral frame broadcast onto the 1-row flow
+    # moments
+    "orders_little_law",
+    # 1-row max-i frame broadcast onto the bounded cumulative stream
+    "ts_sprt_wald",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
     "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
@@ -514,6 +519,12 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # per-τ lag windows over the calendar-bounded block axis;
     # SinglePartitions are the 1-row tau/cutoff reduces
     "events_allan_variance",
+    # cumulative/lead windows over the ≤2·days delta change-point
+    # axis; SinglePartition is the 1-row conservation reduce
+    "orders_little_law",
+    # integer cumulative window over the bounded day axis;
+    # SinglePartition is the 1-row crossing reduce
+    "ts_sprt_wald",
     # block-ranked rank windows partition by block (api core); the
     # SinglePartitions are the 1-row W2/tie reduces
     "agg_wilcoxon_signedrank",
