@@ -261,6 +261,8 @@ _NESTED_LOOP_OK = {
     "orders_little_law",
     # per-hop 1-row layer × 1-row reached-count broadcasts
     "graph_bfs_layers",
+    # 1-row grand-total broadcast onto the ≤125-cell RCA matrix
+    "supplier_balassa_rca",
     # 1-row max-i frame broadcast onto the bounded cumulative stream
     "ts_sprt_wald",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
