@@ -28,8 +28,8 @@ from hadoop_deliver_spark.tables import dec2, tbl
 
 # χ²₄ 5% (Welch verdict, shared with the ANOVA/Bartlett family);
 # Kuiper's asymptotic 5% point 1.747 enters squared ×10⁶
-# (1.747² = 3.052009); the one-sided z 5% point 1.644854 enters
-# squared (2.705543) in the dispersion verdict
+# (1.747² = 3.052009); the one-sided z 5% point enters squared as
+# χ²₁(0.90) = 2.705543 = 1.6448536² in the dispersion verdict
 _CHI2_4_95 = "9.487729"
 _KUIPER_SQ_1E6 = 3052009
 _Z95_SQ = "2.705543"
@@ -322,9 +322,9 @@ def events_poisson_dispersion(
     streams (VMR ≈ 1 Poisson, > 1 overdispersed/bursty). D is an
     exact integer RATIO P/S (P = nΣc² − S² in DECIMAL(38)/HUGEINT),
     and the one-sided 5% normal-approximation verdict z = (D −
-    (n−1))/√(2(n−1)) > 1.644854 squares into the EXACT predicate
-    (P − (n−1)S)² > 1.644854²·2(n−1)·S² guarded by the sign term —
-    only the shared literal 2.705543 is non-integer. Displays are
+    (n−1))/√(2(n−1)) > 1.6448536 squares into the EXACT predicate
+    (P − (n−1)S)² > χ²₁(0.90)·2(n−1)·S² guarded by the sign term —
+    only the shared literal 2.705543 = 1.6448536² is non-integer. Displays are
     single divisions of exact integers.
 
     Scale shape: one keyed reduce of the event stream to the

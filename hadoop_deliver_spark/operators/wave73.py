@@ -20,7 +20,8 @@ from hadoop_deliver_spark import api
 from hadoop_deliver_spark.registry import register
 from hadoop_deliver_spark.tables import dec2, tbl
 
-# one-sided z 5% squared (Cuzick trend verdict)
+# one-sided z 5% squared: χ²₁(0.90) = 2.705543 = 1.6448536²
+# (Cuzick trend verdict)
 _Z95_SQ = "2.705543"
 _TAUS = (1, 2, 4, 8)
 
