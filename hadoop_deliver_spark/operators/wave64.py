@@ -426,9 +426,15 @@ _DAILY_RESID_SQL = """
     "ts_breusch_pagan",
     f"""
     WITH {_DAILY_RESID_SQL},
-    z AS (
-        SELECT t, (e // 1000) * (e // 1000) AS z
+    q AS (
+        SELECT CAST(power(10, GREATEST(3,
+                   length(CAST(max(abs(e)) AS VARCHAR)) - 7))
+               AS BIGINT) AS qd
         FROM resid
+    ),
+    z AS (
+        SELECT t, (e // qd) * (e // qd) AS z
+        FROM resid, q
     ),
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
@@ -465,12 +471,21 @@ def ts_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM = n·R² ~ χ²₁ under homoskedasticity. Where ts_arch_lm asks
     "does variance cluster on ITSELF (lag)?", this asks "does
     variance TREND over the calendar?" — the other standard
-    variance diagnostic. The tested series z_t = (ẽ_t div 10³)² is
-    the n-scaled integer residual quantized by the shared literal
-    10³ BEFORE squaring (keeps z and the z² moment sums inside
-    int64/DECIMAL(38) at any plausible scale — the ts_arch_lm
-    quantization device in floor-div form; the coarsening is ~1e-8
-    of the residual scale). All centered moments C_ab = n·Σab −
+    variance diagnostic. The tested series z_t = (ẽ_t div q)² is the
+    n-scaled integer residual quantized BEFORE squaring by a
+    DATA-ADAPTIVE exact-integer quantizer q = 10^max(3, d−7) where
+    d = decimal-digit count of max|ẽ| (length of its VARCHAR form —
+    an exact integer on both engines, no float log10). This keeps
+    ẽ div q under 10^7 digits-by-construction at ANY corpus scale,
+    so z < 10^14 (int64-safe), Σz² < n·10^28 ≈ 2.4·10^31 on the
+    calendar-bounded n≈2400 days (DECIMAL(38)-safe), and the
+    residual ẽ itself stays int64 to ~sf 3·10^6 — unlike the fixed
+    10³ literal this op used pre-round-11, which overflowed z
+    around sf100. At the test fixtures d−7 ≤ 3 so q = 10³ exactly
+    and all recorded values are unchanged. The q scalar attaches via
+    a broadcast 1-row cross join (the standard scalar device); the
+    coarsening stays ≤ ~1e-7 of the residual scale by construction.
+    All centered moments C_ab = n·Σab −
     Σa·Σb are exact, cast once to double; LM and its χ²₁ verdict
     assemble in ONE fixed textual order (the agg_oneway_anova
     device, literal 3.841459 shared with ts_arch_lm).
@@ -497,9 +512,21 @@ def ts_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("e"),
     )
-    z = resid.select(
+    qd = resid.agg(
+        F.pow(
+            F.lit(10.0),
+            F.greatest(
+                F.lit(3),
+                F.length(F.max(F.abs(F.col("e"))).cast("string"))
+                - F.lit(7),
+            ),
+        )
+        .cast("long")
+        .alias("qd")
+    )
+    z = resid.crossJoin(F.broadcast(qd)).select(
         "t",
-        (F.expr("e div 1000") * F.expr("e div 1000")).alias("z"),
+        (F.expr("e div qd") * F.expr("e div qd")).alias("z"),
     )
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = z.agg(

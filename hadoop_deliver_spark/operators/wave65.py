@@ -297,18 +297,22 @@ def agg_kuiper_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n, s,
                CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS p
         FROM m
+    ),
+    ex AS (
+        SELECT n, s, p,
+               CAST(p - (n - 1) * CAST(s AS HUGEINT) AS DOUBLE) AS exd
+        FROM d
     )
     SELECT n AS n_days,
            round(CAST(p AS DOUBLE) / (CAST(s AS DOUBLE) * (n - 1)), 6)
                AS vmr,
            round(CAST(p AS DOUBLE) / CAST(s AS DOUBLE), 4) AS d_stat,
            p > (n - 1) * CAST(s AS HUGEINT)
-               AND (p - (n - 1) * CAST(s AS HUGEINT))
-                   * (p - (n - 1) * CAST(s AS HUGEINT))
+               AND exd * exd
                    > {_Z95_SQ} * 2 * (n - 1)
-                     * (CAST(s AS HUGEINT) * s)
+                     * CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
                AS overdispersed
-    FROM d
+    FROM ex
     """,
     tags=("events", "stats"),
 )
@@ -322,9 +326,18 @@ def events_poisson_dispersion(
     streams (VMR ≈ 1 Poisson, > 1 overdispersed/bursty). D is an
     exact integer RATIO P/S (P = nΣc² − S² in DECIMAL(38)/HUGEINT),
     and the one-sided 5% normal-approximation verdict z = (D −
-    (n−1))/√(2(n−1)) > 1.6448536 squares into the EXACT predicate
+    (n−1))/√(2(n−1)) > 1.6448536 squares into the predicate
     (P − (n−1)S)² > χ²₁(0.90)·2(n−1)·S² guarded by the sign term —
-    only the shared literal 2.705543 = 1.6448536² is non-integer. Displays are
+    the shared literal 2.705543 = 1.6448536² is non-integer, so the
+    comparison is inherently double; both sides therefore take ONE
+    double cast each, in the same fixed textual order on both
+    engines (exd = CAST(P − (n−1)S AS DOUBLE) squared vs
+    2.705543·2(n−1)·CAST(S² AS DOUBLE)). This keeps the excess
+    SQUARE out of DECIMAL(38)/HUGEINT entirely — P grows like
+    n·Σc², so the pre-round-11 exact excess·excess product would
+    have overflowed DECIMAL(38) around sf30 (Spark null / DuckDB
+    HUGEINT error); the double form is scale-unbounded and the
+    1-row scalar squaring is order-deterministic. Displays are
     single divisions of exact integers.
 
     Scale shape: one keyed reduce of the event stream to the
@@ -349,7 +362,7 @@ def events_poisson_dispersion(
         ),
     )
     p, s = F.col("p"), F.col("s")
-    excess = p - (n - 1) * s.cast("decimal(38,0)")
+    exd = (p - (n - 1) * s.cast("decimal(38,0)")).cast("double")
     return d.select(
         n.alias("n_days"),
         F.round(
@@ -359,7 +372,7 @@ def events_poisson_dispersion(
         (
             (p > (n - 1) * s.cast("decimal(38,0)"))
             & (
-                excess * excess
+                exd * exd
                 > float(_Z95_SQ)
                 * 2
                 * (n - 1)

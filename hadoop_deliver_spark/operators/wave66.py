@@ -306,10 +306,10 @@ def orders_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_days,
            round(2 * (pc * pc + ps * ps)
-                 / (CAST(n AS DOUBLE) * CAST(c0 AS DOUBLE)), 6)
+                 / CAST(c0 AS DOUBLE), 6)
                AS z_stat,
            2 * (pc * pc + ps * ps)
-               > {_CHI2_2_95} * (CAST(n AS DOUBLE) * CAST(c0 AS DOUBLE))
+               > {_CHI2_2_95} * CAST(c0 AS DOUBLE)
                AS weekly_cycle
     FROM p
     """,
@@ -321,9 +321,14 @@ def ts_schuster_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw power and variance share, this op supplies the missing
     SIGNIFICANCE decision on the revenue series: the
     periodogram ordinate at the weekly frequency, z = 2·I(1/7)/σ̂²
-    = 2(P_c² + P_s²)/(n·Σe²·(1/n²-scale)) ~ χ²₂ under white noise
-    (the scale of the n-scaled integer residuals cancels in the
-    ratio). Because the frequency is exactly one cycle per 7 days,
+    = 2(P_c² + P_s²)/Σe² ~ χ²₂ under white noise. The residuals are
+    n-SCALED integers (e_t = n·y_t − Σy = n·(y_t − ȳ), exact), and
+    the n² scale cancels BETWEEN numerator and denominator: P_c²+P_s²
+    = n²·(P̃_c²+P̃_s²) while Σe² = n²·Σε², so 2(P_c²+P_s²)/Σe² equals
+    the textbook 2(P̃_c²+P̃_s²)/Σε² with no residual n factor — an
+    extra ÷n here would deflate z by ~n and zero the test's power
+    (the round-10 advisor caught exactly that defect).
+    Because the frequency is exactly one cycle per 7 days,
     cos/sin(2πt/7) take only SEVEN values: P_c = Σ_w cos_w·E_w with
     E_w = Σ_(t≡w) e_t EXACT DECIMAL(38)/HUGEINT weekday-bucket sums
     and cos_w/sin_w 15-digit literals shared TEXTUALLY by both
@@ -382,11 +387,8 @@ def ts_schuster_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pwr = F.col("pc") * F.col("pc") + F.col("ps") * F.col("ps")
     return p.select(
         n.alias("n_days"),
-        F.round(
-            2 * pwr / (n.cast("double") * c0.cast("double")), 6
-        ).alias("z_stat"),
-        (
-            2 * pwr
-            > float(_CHI2_2_95) * (n.cast("double") * c0.cast("double"))
-        ).alias("weekly_cycle"),
+        F.round(2 * pwr / c0.cast("double"), 6).alias("z_stat"),
+        (2 * pwr > float(_CHI2_2_95) * c0.cast("double")).alias(
+            "weekly_cycle"
+        ),
     )
