@@ -442,27 +442,36 @@ def ts_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT smp,
-               sum(
-                   (CAST(r AS DOUBLE) - CAST(nn AS DOUBLE) / ni * i)
-                   * (CAST(r AS DOUBLE) - CAST(nn AS DOUBLE) / ni * i)
-                   / (CAST(i AS DOUBLE) / (ni + 1)
-                      * (1 - CAST(i AS DOUBLE) / (ni + 1))
-                      * ((nn - ni) * CAST(nn AS DOUBLE) / ni))
-               ) / max(ni) AS bpart,
-               CAST(max(ni) AS BIGINT) AS ni
+               CAST(sum(CAST(
+                   ((ni * r - nn * i) * (ni * r - nn * i) * 1000)
+                   // (i * (ni + 1 - i))
+               AS HUGEINT)) AS HUGEINT) AS t,
+               CAST(max(ni) AS BIGINT) AS ni,
+               CAST(max(nn) AS BIGINT) AS nn
         FROM rc GROUP BY smp
     ),
     piv AS (
-        SELECT max(CASE WHEN smp = 1 THEN bpart END) AS bx,
+        SELECT max(CASE WHEN smp = 1 THEN t END) AS tx,
                max(CASE WHEN smp = 1 THEN ni END) AS n1,
-               max(CASE WHEN smp = 2 THEN bpart END) AS by,
-               max(CASE WHEN smp = 2 THEN ni END) AS n2
+               max(CASE WHEN smp = 2 THEN t END) AS ty,
+               max(CASE WHEN smp = 2 THEN ni END) AS n2,
+               max(nn) AS nn
         FROM b
+    ),
+    fin AS (
+        SELECT n1, n2,
+               CAST((n1 + 1) * (n1 + 1) * n2 AS HUGEINT) * tx
+               + CAST((n2 + 1) * (n2 + 1) * n1 AS HUGEINT) * ty
+                   AS numer,
+               CAST(n1 * n1 AS HUGEINT) * (n2 * n2) * nn * 2000
+                   AS denom
+        FROM piv
     )
     SELECT n1 AS n_urgent, n2 AS n_low,
-           CAST((bx + by) / 2 AS REAL) AS b_stat,
-           CAST((bx + by) / 2 AS REAL) > 2.493 AS significant
-    FROM piv
+           CAST(CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE) AS REAL)
+               AS b_stat,
+           1000 * numer > 2493 * denom AS significant
+    FROM fin
     """,
     tags=("agg", "stats"),
 )
@@ -477,21 +486,28 @@ def agg_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_numbers with the (cents, smp, day) tiebreak — the BWS
     no-ties assumption adapted to discrete data the same way on
     both engines. Per-term variance weights make the sum a rational
-    with irreducible per-i denominators, so B is assembled in
-    doubles and CAST TO FLOAT32 before display AND decision — the
-    engines' aggregation orders may differ by double-ulps, which
-    the float32 cast absorbs (the fn_* float-surface device);
-    the verdict compares the identical float32 against the literal.
-    Drift envelope: the sum has ≤ 2·days ≈ 4.8k terms, each O(1)
-    after the 1/Var_i weighting, so accumulated order drift is
-    ≤ ~4.8k·ulp(double at B≈2.5) ≈ 4.8k·4.4e-16 ≈ 2.1e-12 — nine
-    orders of magnitude inside float32 resolution at 2.5 (ulp ≈
-    2.4e-7), and a fixture B landing within 2.4e-7 of 2.493 would
-    be visible in the committed value (it is not: both samples sit
-    far from the threshold). The float32 verdict is therefore
-    stable across engines/runs for this fixture family; a mobile
-    fixture would need the fixed-order pivot
-    (agg_hellinger_distance's device) instead.
+    with IRREDUCIBLE per-i denominators i·(ni+1−i) — no common
+    denominator fits an integer type — so (since round 11, replacing
+    a float32-absorbed double sum the round-10 verdict flagged as
+    drift-risky) each term is QUANTIZED to an exact integer in
+    milli-units BEFORE summation: clearing fractions, t_i =
+    (ni·R−nn·i)²·(ni+1)² / (ni·i·(ni+1−i)·n₂·nn) and B_smp = Σt/ni,
+    so with T = Σ_i ((ni·R−nn·i)²·1000) div (i·(ni+1−i)) — every
+    factor int64-bounded on the calendar-bounded frame: ni·R ≤
+    2400·4800, squared·1000 ≈ 1.3e17 — the combined statistic is
+    the EXACT integer ratio B = numer/denom with numer =
+    (n1+1)²·n2·T_X + (n2+1)²·n1·T_Y and denom = 2000·nn·n1²·n2²
+    (DECIMAL(38)/HUGEINT, worst case ~1e33). Summation order cannot
+    matter: integer addition is associative. The verdict is the
+    pure-integer comparison 1000·numer > 2493·denom (2.493 =
+    2493/1000 cleared); b_stat displays as REAL of one double
+    division of the two exact integers. Quantization bias: each
+    floor loses < 1 milli-unit, ≤ ni terms, deflating B by
+    ≤ (n+1)²/(n²·n₂·nn·1000)·n ≈ 2e-7 — at the verdict boundary
+    that is an inherent ±2e-7 band around 2.493, far narrower than
+    the float32 display ulp and identical on both engines (floor
+    division of equal integers), so the decision is deterministic
+    everywhere, not merely off-boundary.
 
     Scale shape: the agg_brunner_munzel shape — one keyed reduce to
     ≤2·days rows, bounded-axis rank windows, a 2-row reduce."""
@@ -529,33 +545,43 @@ def agg_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nn"),
     )
-    term = (
-        (F.col("r").cast("double") - F.col("nn").cast("double") / F.col("ni") * F.col("i"))
-        * (F.col("r").cast("double") - F.col("nn").cast("double") / F.col("ni") * F.col("i"))
-        / (
-            F.col("i").cast("double") / (F.col("ni") + 1)
-            * (1 - F.col("i").cast("double") / (F.col("ni") + 1))
-            * (
-                (F.col("nn") - F.col("ni"))
-                * F.col("nn").cast("double")
-                / F.col("ni")
-            )
-        )
+    term = F.expr(
+        "((ni * r - nn * i) * (ni * r - nn * i) * 1000)"
+        " div (i * (ni + 1 - i))"
     )
     b = rc.groupBy("smp").agg(
-        (F.sum(term) / F.max("ni")).alias("bpart"),
+        F.sum(term.cast("decimal(38,0)")).alias("t"),
         F.max("ni").cast("long").alias("ni"),
+        F.max("nn").cast("long").alias("nn"),
     )
     piv = b.agg(
-        F.max(F.when(F.col("smp") == 1, F.col("bpart"))).alias("bx"),
+        F.max(F.when(F.col("smp") == 1, F.col("t"))).alias("tx"),
         F.max(F.when(F.col("smp") == 1, F.col("ni"))).alias("n1"),
-        F.max(F.when(F.col("smp") == 2, F.col("bpart"))).alias("by"),
+        F.max(F.when(F.col("smp") == 2, F.col("t"))).alias("ty"),
         F.max(F.when(F.col("smp") == 2, F.col("ni"))).alias("n2"),
+        F.max("nn").alias("nn"),
     )
-    b32 = ((F.col("bx") + F.col("by")) / 2).cast("float")
-    return piv.select(
+    n1, n2, nn = F.col("n1"), F.col("n2"), F.col("nn")
+    fin = piv.select(
+        "n1",
+        "n2",
+        (
+            ((n1 + 1) * (n1 + 1) * n2).cast("decimal(38,0)")
+            * F.col("tx")
+            + ((n2 + 1) * (n2 + 1) * n1).cast("decimal(38,0)")
+            * F.col("ty")
+        ).alias("numer"),
+        ((n1 * n1).cast("decimal(38,0)") * (n2 * n2) * nn * 2000).alias(
+            "denom"
+        ),
+    )
+    return fin.select(
         F.col("n1").alias("n_urgent"),
         F.col("n2").alias("n_low"),
-        b32.alias("b_stat"),
-        (b32 > 2.493).alias("significant"),
+        (F.col("numer").cast("double") / F.col("denom").cast("double"))
+        .cast("float")
+        .alias("b_stat"),
+        (1000 * F.col("numer") > 2493 * F.col("denom")).alias(
+            "significant"
+        ),
     )

@@ -312,22 +312,40 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.o_custkey = b.o_custkey AND a.half = 1 AND b.half = 2
         GROUP BY 1, 2
     ),
-    rows_tot AS (
-        SELECT q1, CAST(sum(c) AS BIGINT) AS rt FROM trans GROUP BY q1
+    rowagg AS (
+        SELECT q1,
+               CAST(sum(CASE WHEN q1 = q2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dc,
+               CAST(sum(c) AS BIGINT) AS rt
+        FROM trans GROUP BY q1
     ),
     piv AS (
         SELECT
-            sum(CASE WHEN t.q1 = t.q2 THEN CAST(t.c AS DOUBLE) / rt.rt
-                     ELSE 0 END) AS trace_p,
-            CAST(sum(CASE WHEN t.q1 = t.q2 THEN t.c ELSE 0 END)
-                 AS BIGINT) AS stay_n,
-            CAST(sum(t.c) AS BIGINT) AS total_n
-        FROM trans t JOIN rows_tot rt USING (q1)
+            max(CASE WHEN q1 = 1 THEN dc END) AS dc1,
+            max(CASE WHEN q1 = 1 THEN rt END) AS rt1,
+            max(CASE WHEN q1 = 2 THEN dc END) AS dc2,
+            max(CASE WHEN q1 = 2 THEN rt END) AS rt2,
+            max(CASE WHEN q1 = 3 THEN dc END) AS dc3,
+            max(CASE WHEN q1 = 3 THEN rt END) AS rt3,
+            max(CASE WHEN q1 = 4 THEN dc END) AS dc4,
+            max(CASE WHEN q1 = 4 THEN rt END) AS rt4,
+            max(CASE WHEN q1 = 5 THEN dc END) AS dc5,
+            max(CASE WHEN q1 = 5 THEN rt END) AS rt5,
+            CAST(sum(dc) AS BIGINT) AS stay_n,
+            CAST(sum(rt) AS BIGINT) AS total_n
+        FROM rowagg
+    ),
+    tr AS (
+        SELECT stay_n, total_n,
+               CAST(dc1 AS DOUBLE) / rt1 + CAST(dc2 AS DOUBLE) / rt2
+               + CAST(dc3 AS DOUBLE) / rt3 + CAST(dc4 AS DOUBLE) / rt4
+               + CAST(dc5 AS DOUBLE) / rt5 AS trace_p
+        FROM piv
     )
     SELECT total_n AS n_customers, stay_n AS n_stayers,
            CAST((5 - trace_p) / 4 AS REAL) AS shorrocks_m,
            4 * stay_n < total_n AS high_mobility
-    FROM piv
+    FROM tr
     """,
     tags=("analytics", "stats"),
 )
@@ -341,13 +359,17 @@ def customers_shorrocks_mobility(
     (identity matrix), M → k/(k−1) is total churn. Only customers
     active in BOTH halves enter; quintiles are the balanced exact cut
     1 + 5(r−1)÷n per half (the agg_fleiss_kappa discretization).
-    trace(P) sums five ratios with different row-total denominators
-    through an engine aggregate (order NOT fixed), so M ships as
-    FLOAT32 — the cast absorbs double-ulp summation drift (the
-    agg_bws_test device) — while the headline high-mobility flag uses the exact
-    integer proxy 4·stayers < total (diagonal mass below 1/4 ⇔
-    unnormalized trace test — the display-free decision). Transition
-    counts are exact.
+    trace(P) sums five ratios with different row-total denominators,
+    so the five (diagonal, row-total) integer pairs PIVOT to one row
+    and trace assembles in ONE fixed textual order of five exact
+    integer divisions (the agg_hellinger_distance device — since
+    round 11; the pre-r11 engine-aggregated double sum risked
+    order-drift at the float32 boundary, per the round-10 verdict).
+    M still ships as FLOAT32 for display-schema stability, but the
+    double beneath it is now bit-identical across engines/runs. The
+    headline high-mobility flag uses the exact integer proxy
+    4·stayers < total (diagonal mass below 1/4 ⇔ unnormalized trace
+    test — the display-free decision). Transition counts are exact.
 
     Scale shape: one keyed reduce per half, per-half rank windows
     (calendar-bounded key set ×2), a 25-cell transition reduce."""
@@ -392,22 +414,29 @@ def customers_shorrocks_mobility(
         .groupBy("q1", "q2")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    rt = trans.groupBy("q1").agg(F.sum("c").cast("long").alias("rt"))
-    piv = trans.join(F.broadcast(rt), "q1").agg(
-        F.sum(
-            F.when(
-                F.col("q1") == F.col("q2"),
-                F.col("c").cast("double") / F.col("rt"),
-            ).otherwise(0.0)
-        ).alias("trace_p"),
+    rowagg = trans.groupBy("q1").agg(
         F.sum(
             F.when(F.col("q1") == F.col("q2"), F.col("c")).otherwise(0)
         )
         .cast("long")
-        .alias("stay_n"),
-        F.sum("c").cast("long").alias("total_n"),
+        .alias("dc"),
+        F.sum("c").cast("long").alias("rt"),
     )
-    return piv.select(
+    piv = rowagg.agg(
+        *[
+            F.max(F.when(F.col("q1") == k, F.col(m))).alias(f"{m}{k}")
+            for k in range(1, 6)
+            for m in ("dc", "rt")
+        ],
+        F.sum("dc").cast("long").alias("stay_n"),
+        F.sum("rt").cast("long").alias("total_n"),
+    )
+    trace = None
+    for k in range(1, 6):
+        term = F.col(f"dc{k}").cast("double") / F.col(f"rt{k}")
+        trace = term if trace is None else trace + term
+    tr = piv.select("stay_n", "total_n", trace.alias("trace_p"))
+    return tr.select(
         F.col("total_n").alias("n_customers"),
         F.col("stay_n").alias("n_stayers"),
         ((5 - F.col("trace_p")) / 4).cast("float").alias("shorrocks_m"),
