@@ -1751,3 +1751,68 @@ def test_sort_before_project_plan_shape(spark, sf_dir):
             f"order through the final projection is no longer "
             f"guaranteed\n{plan}"
         )
+
+
+def test_triangle_count_formulations_agree(spark):
+    """The two triangle_count formulations — the broadcast-bitmap
+    dense path and the degree-ordered orientation edge join the
+    round-10 verdict asked to size-gate — must agree exactly, and the
+    gate must actually route a past-budget graph down the sparse
+    path.
+
+    Part 1 (agreement): random messy graphs (dup edges, reversed
+    orientations, self-loops) — the oriented formulation, called
+    directly on the normalized edge list, must equal both the public
+    triangle_count (which picks the bitmap path at these sizes) and a
+    first-principles itertools enumeration.
+
+    Part 2 (gate engages): a 20 002-node ring (n·(n÷64+1) ≈ 6.3M
+    longs > the 2²² budget) with 40 spaced chords — each chord (i,
+    i+2) closes exactly one triangle with the ring — must return 40
+    through the public entry point, which at that node count can
+    only be the oriented path (the bitmap path would build a ~2.5M-
+    long broadcast per the gate arithmetic; monkeypatching the gate
+    constant to force the bitmap path here is deliberately NOT done:
+    the assert documents the switch boundary instead)."""
+    import itertools
+    import random
+
+    from hadoop_deliver_spark import api
+    from hadoop_deliver_spark.api import (
+        _TRIANGLE_BITMAP_MAX_WORDS,
+        _triangle_count_oriented,
+    )
+
+    for seed, n_nodes, p_pct in [(7, 12, 40), (11, 18, 25), (13, 9, 80)]:
+        rng = random.Random(seed)
+        raw, und = [], set()
+        for u, v in itertools.combinations(range(n_nodes), 2):
+            if rng.randrange(100) < p_pct:
+                und.add((u, v))
+                raw.append((u, v) if rng.random() < 0.5 else (v, u))
+        for u in range(n_nodes):
+            if rng.random() < 0.2:
+                raw.append((u, u))
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(range(n_nodes), 3)
+            if (a, b) in und and (b, c) in und and (a, c) in und
+        )
+        df = spark.createDataFrame(raw or [(0, 0)], "x long, y long")
+        e = (
+            df.select(
+                F.least("x", "y").alias("_tc_u"),
+                F.greatest("x", "y").alias("_tc_v"),
+            )
+            .filter(F.col("_tc_u") < F.col("_tc_v"))
+            .distinct()
+        )
+        assert _triangle_count_oriented(e) == want
+        assert api.triangle_count(df, "x", "y") == want
+
+    n = 20_002
+    assert n * (n // 64 + 1) > _TRIANGLE_BITMAP_MAX_WORDS
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    chords = [(i, i + 2) for i in range(0, 200, 5)]
+    big = spark.createDataFrame(ring + chords, "x long, y long")
+    assert api.triangle_count(big, "x", "y") == len(chords)
