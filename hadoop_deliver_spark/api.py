@@ -26,6 +26,7 @@ Quick start — near-dup dedup of your own table in 5 lines::
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -793,6 +794,56 @@ def char_gram_sets(
     )
 
 
+#: session-scoped memo of the raw char-gram checkpoint shared by the
+#: jaccard/containment candidate stages (the operators/_cc_cache
+#: precedent): the gram-set expression (transform + array_distinct
+#: over the corpus) is the single most re-evaluated stage in a full
+#: query-suite run — jaccard, containment, and their report queries
+#: each re-derived it from scratch pre-round-11. Keyed by
+#: (applicationId, df.semanticHash(), schema, id_col, text_col, k);
+#: same contract as the component-label cache: the underlying table
+#: must not change within one application (true for the driver, the
+#: sim, tests, and bench). FIFO-capped — evicted DataFrames are GC'd
+#: and the ContextCleaner releases their checkpoint blocks.
+_GRAM_STAGE_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_GRAM_STAGE_CACHE_MAX = 8
+
+
+def _staged_gram_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """The memoized raw gram stage: ``char_gram_sets`` over ``df``,
+    spread to the session's default parallelism when the source
+    arrives narrow (a single small parquet file plans as ONE
+    partition, serializing the whole gram map on one core — the
+    round-10 sf0.1 profile showed exactly that), then
+    ``localCheckpoint``-ed once per (application, corpus, k) and
+    shared by every caller in the session."""
+    spark = df.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        df.semanticHash(),
+        str(df.schema),
+        id_col,
+        text_col,
+        k,
+    )
+    hit = _GRAM_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    par = spark.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    grams = char_gram_sets(src, id_col, text_col, k=k).localCheckpoint(
+        eager=True
+    )
+    _GRAM_STAGE_CACHE[key] = grams
+    while len(_GRAM_STAGE_CACHE) > _GRAM_STAGE_CACHE_MAX:
+        _GRAM_STAGE_CACHE.popitem(last=False)
+    return grams
+
+
 #: refine-path switch for :func:`jaccard_pairs` / :func:`containment_pairs`
 #: ("auto" mode): the dense bitmap table is |corpus| × ⌈|vocab|/64⌉
 #: longs and is BROADCAST — safe only while that product stays small.
@@ -940,13 +991,11 @@ def _jaccard_parts(
     candidate-volume plan guard (tests/test_properties.py) so the
     guard measures the REAL stage, not a replica. Returns
     (grams, inv, gdf, cands)."""
-    # localCheckpoint, not cache(): referenced by the lazily returned
-    # plan (candidate stage + bitmap refine); checkpoint blocks are
-    # released by the ContextCleaner on GC instead of pinning executor
-    # storage for the session
-    grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
-        eager=True
-    )
+    # session-memoized localCheckpoint (see _staged_gram_sets):
+    # referenced by the lazily returned plan (candidate stage +
+    # bitmap refine) and shared with the containment twin; blocks are
+    # released by the ContextCleaner on cache eviction
+    grams = _staged_gram_sets(df, id_col, text_col, char_k)
     inv = grams.select(
         id_col, F.size("gs").alias("_jp_n"), F.explode("gs").alias("_jp_g")
     )
@@ -999,8 +1048,16 @@ def _jaccard_parts(
     ub = F.lit(1) + F.least(
         F.col("na") - F.col("_jp_rka"), F.col("nb") - F.col("_jp_rkb")
     )
+    # explicit-width repartitions — same rationale as the containment
+    # twin: the posting join and the pair-dedup are CPU-heavy,
+    # byte-light stages that AQE's byte-targeted coalescing squeezes
+    # onto a handful of tasks; REPARTITION_BY_NUM pins them at
+    # defaultParallelism and the hash distribution satisfies the
+    # downstream join/distinct requirement (no extra exchange)
+    par = df.sparkSession.sparkContext.defaultParallelism
     cands = (
-        a.join(b, ["_jp_h"])
+        a.repartition(par, "_jp_h")
+        .join(b.repartition(par, "_jp_h"), ["_jp_h"])
         .filter(
             (
                 (F.col("nb") > F.col("na"))
@@ -1016,6 +1073,7 @@ def _jaccard_parts(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
         )
+        .repartition(par, "id_a", "id_b")
         .distinct()
     )
     return grams, inv, gdf, cands
@@ -1170,16 +1228,17 @@ def _containment_parts(
     The cap is the published web-dedup fan-out bound: no surviving
     posting list exceeds P‰ of the corpus, so the prefix×posting
     candidate join has bounded per-key fan-out at any corpus size."""
-    # localCheckpoint, not cache() — same storage-lifecycle argument
-    # as jaccard_pairs/minhash_pairs. With the cap there are TWO
-    # checkpoints, and both earn their keep (measured at sf0.1): the
-    # gram-set expression (transform + array_distinct over ~500-char
-    # texts) costs ~7 s per evaluation, and the capped rebuild needs
-    # it twice (df count + posting rebuild) — checkpointing the raw
-    # arrays first turns both consumers into ~1 s scans.
-    grams = char_gram_sets(df, id_col, text_col, k=char_k).localCheckpoint(
-        eager=True
-    )
+    # session-memoized localCheckpoint (see _staged_gram_sets) — same
+    # storage-lifecycle argument as jaccard_pairs/minhash_pairs, plus
+    # cross-query reuse: the raw gram stage is SHARED with the
+    # jaccard twin, so in a full suite run only the first of the two
+    # pays the corpus gram map. With the cap there is a SECOND
+    # checkpoint below, and it earns its keep (measured at sf0.1):
+    # the capped rebuild is consumed twice (df count + posting
+    # rebuild), and checkpointing turns both consumers into ~1 s
+    # scans.
+    grams = _staged_gram_sets(df, id_col, text_col, char_k)
+    par = df.sparkSession.sparkContext.defaultParallelism
     if max_df_permille is not None:
         ndocs = grams.count()
         inv0 = grams.select(id_col, F.explode("gs").alias("_cp_g"))
@@ -1193,6 +1252,7 @@ def _containment_parts(
         )
         grams = (
             inv0.join(F.broadcast(keep), "_cp_g")
+            .repartition(par, id_col)
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_set("_cp_g")).alias("gs"))
             .localCheckpoint(eager=True)
@@ -1248,8 +1308,18 @@ def _containment_parts(
         F.lit(1),
         p_eff - (F.floor(F.lit(1.0 - t) * F.col("_cp_na")) + 1),
     )
+    # explicit-width repartitions (REPARTITION_BY_NUM — AQE will NOT
+    # re-coalesce them): the posting join and the pair aggregate are
+    # CPU-heavy but byte-light (narrow int rows), so byte-targeted
+    # AQE coalescing squeezed them onto ~3 tasks at sf0.1 — the
+    # round-10 sim's 26 s hot line. Pinning the join and the pair
+    # reduce at defaultParallelism keeps every core on the popcount/
+    # filter work; the hash distribution on (join key / pair key)
+    # satisfies the downstream requirement, so no extra exchange is
+    # introduced.
     cands = (
-        prefix.join(full_b, "_cp_g")
+        prefix.repartition(par, "_cp_g")
+        .join(full_b.repartition(par, "_cp_g"), "_cp_g")
         .where(
             (F.col("_cp_na") < F.col("_cp_nb"))
             | (
@@ -1269,6 +1339,7 @@ def _containment_parts(
             / F.col("_cp_na")
             >= t
         )
+        .repartition(par, "inner_id", "outer_id")
         .groupBy("inner_id", "outer_id", "_cp_na")
         .agg(F.count(F.lit(1)).alias("_cp_c"))
         .where(F.col("_cp_c") >= required)
