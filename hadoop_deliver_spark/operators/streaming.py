@@ -22,7 +22,7 @@ ListState/MapState handles + timers) was attempted and verified
 IMPOSSIBLE in this runtime: its driver↔worker state protocol imports
 ``google.protobuf``, which is not installed here (the worker crashes
 with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError;
-reproduced 2026-08-13, re-probed 2026-08-15: still absent). On a deployment with protobuf present the
+reproduced 2026-08-13, re-probed 2026-08-16: still absent). On a deployment with protobuf present the
 stream_stateful_custom processor ports mechanically: init() binds a
 ValueState("agg", "n BIGINT, v DOUBLE"), handleInputRows() replaces
 the tuple-state read/update, everything else is identical.
