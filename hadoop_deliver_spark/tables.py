@@ -61,6 +61,13 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     # the operator would be undone before execution reads it. Only
     # bucketed-table scans observe the conf.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # Arrow-batched toPandas()/pandas_udf transfer: a driver-owned
+    # vanilla session arrives with Arrow OFF, which silently pickles
+    # every result row through Py4J — measured 12.7 s → 1.2 s on a
+    # 150k-row full-table query at sf0.1. Runtime-settable; the
+    # fallback conf (default true) keeps unsupported result types on
+    # the slow-but-correct path instead of erroring.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
 
 
