@@ -213,10 +213,14 @@ def _minhash_parts(
     # the lazily returned plan (minhash build + exact refine), and a
     # cache() here would pin executor storage for the whole session —
     # checkpoint blocks are instead released by the ContextCleaner
-    # when the returned DataFrame is garbage-collected
-    sets = shingle_sets(df, id_col, text_col, k=shingle_k).localCheckpoint(
-        eager=True
-    )
+    # when the cache entry is evicted. Session-memoized and spread to
+    # defaultParallelism first (the _staged_gram_sets device): a
+    # single-file corpus plans as ONE partition, and the 128 xxhash64
+    # evaluations per posting row run at the CHECKPOINT's partition
+    # width — the narrow source serialized the whole minhash build on
+    # one core. Shared across every minhash caller in the session
+    # (dedup, threshold sweep, candidate stats, component labels).
+    sets = _staged_shingle_sets(df, id_col, text_col, shingle_k)
     inv = sets.select(id_col, F.explode("shingles").alias("sh"))
     minhash = inv.groupBy(id_col).agg(
         *[
@@ -842,6 +846,39 @@ def _staged_gram_sets(
     while len(_GRAM_STAGE_CACHE) > _GRAM_STAGE_CACHE_MAX:
         _GRAM_STAGE_CACHE.popitem(last=False)
     return grams
+
+
+def _staged_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """The word-shingle twin of :func:`_staged_gram_sets`: memoized
+    ``shingle_sets`` checkpoint per (application, corpus, k), spread
+    to default parallelism when the source arrives narrow. Shares the
+    same FIFO-capped cache (keys carry a stage discriminator)."""
+    spark = df.sparkSession
+    key = (
+        "shingle",
+        spark.sparkContext.applicationId,
+        df.semanticHash(),
+        str(df.schema),
+        id_col,
+        text_col,
+        k,
+    )
+    hit = _GRAM_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    par = spark.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    sets = shingle_sets(src, id_col, text_col, k=k).localCheckpoint(
+        eager=True
+    )
+    _GRAM_STAGE_CACHE[key] = sets
+    while len(_GRAM_STAGE_CACHE) > _GRAM_STAGE_CACHE_MAX:
+        _GRAM_STAGE_CACHE.popitem(last=False)
+    return sets
 
 
 #: refine-path switch for :func:`jaccard_pairs` / :func:`containment_pairs`
