@@ -265,6 +265,14 @@ _NESTED_LOOP_OK = {
     "supplier_balassa_rca",
     # 1-row max-i frame broadcast onto the bounded cumulative stream
     "ts_sprt_wald",
+    # 1-row data-adaptive quantizer scalar broadcast onto the
+    # calendar-bounded residual/loss-differential series (the
+    # breusch-pagan digit-count device and its diebold-mariano twin)
+    "ts_breusch_pagan",
+    "ts_diebold_mariano",
+    # 1-row harmonic-number scalar broadcast onto the 1-row record
+    # counts
+    "ts_foster_stuart_records",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
     "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
