@@ -1824,3 +1824,58 @@ def test_triangle_count_formulations_agree(spark):
     chords = [(i, i + 2) for i in range(0, 200, 5)]
     big = spark.createDataFrame(ring + chords, "x long, y long")
     assert api.triangle_count(big, "x", "y") == len(chords)
+
+
+def test_adaptive_quantizer_engages_and_is_scale_invariant(spark, duck, sf_dir):
+    """The digit-count-adaptive quantizer device (ts_breusch_pagan,
+    ts_diebold_mariano — round 11) exists so the squared-residual /
+    squared-loss moments survive DECIMAL(38) at large scale factors.
+    Prove it end-to-end: scale every order price by 10^6 (forcing
+    max|49d| and max|e| far past the 12-digit threshold, so qd > 1 on
+    BOTH engines), re-run query AND oracle on the scaled fixture, and
+    assert (a) they still hash-match each other, and (b) the
+    statistics are scale-invariant — z/DM are ratios whose numerator
+    and denominator scale together, so the scaled-fixture values must
+    agree with the base-fixture values to within the quantizer's
+    documented coarsening (~1e-6 relative)."""
+    import tempfile
+
+    import duckdb as ddb
+
+    from hadoop_deliver_spark.registry import load_all
+    from tests.parity import assert_frames_match
+
+    reg = load_all()
+    base_dm = reg["ts_diebold_mariano"].fn(spark, sf_dir).toPandas()
+    base_bp = reg["ts_breusch_pagan"].fn(spark, sf_dir).toPandas()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        scaler = ddb.connect()
+        scaler.execute(
+            f"""
+            COPY (
+                SELECT * REPLACE (o_totalprice * 1000000.0 AS o_totalprice)
+                FROM read_parquet('{sf_dir}/orders.parquet')
+            ) TO '{tmp}/orders.parquet' (FORMAT PARQUET)
+            """
+        )
+        oracle_db = ddb.connect()
+        oracle_db.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp}/orders.parquet')"
+        )
+        for name, base in (
+            ("ts_diebold_mariano", base_dm),
+            ("ts_breusch_pagan", base_bp),
+        ):
+            q = reg[name]
+            spdf = q.fn(spark, tmp).toPandas()
+            odf = oracle_db.execute(q.oracle).df()
+            assert_frames_match(spdf, odf, f"{name}@x1e6")
+            stat_col = "dm_stat" if name == "ts_diebold_mariano" else "lm_stat"
+            got = float(spdf[stat_col].iloc[0])
+            want = float(base[stat_col].iloc[0])
+            assert abs(got - want) <= max(1e-3, abs(want) * 1e-4), (
+                f"{name}: scaled-fixture {stat_col}={got} drifted from "
+                f"base {want} beyond the quantizer coarsening envelope"
+            )
