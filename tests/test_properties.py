@@ -273,6 +273,24 @@ _NESTED_LOOP_OK = {
     # 1-row harmonic-number scalar broadcast onto the 1-row record
     # counts
     "ts_foster_stuart_records",
+    # round-11 wave 82-90 scalar attachments — each is a 1-row
+    # broadcast cross join per the established scalar device:
+    # 1-row cutoff-date scalar onto the event stream
+    "events_brier_decomposition",
+    # 1-row grand-total frames onto bounded cell tables (25 nations /
+    # 10 deciles / 5-row kappa grids / 1-row moment rows)
+    "agg_gwet_ac1",
+    "agg_scott_pi",
+    "agg_cumulative_gains",
+    "orders_duncan_dissimilarity",
+    "orders_isolation_index",
+    "orders_shift_share",
+    # 1-row max-centrality scalar onto the ≤5-node table
+    "graph_harmonic_centrality",
+    # 1-row calendar-bounds scalar onto the daily series
+    "orders_ks_uniform_dates",
+    # 1-row corpus-count scalar onto the block-ranked pass
+    "agg_wolfson_polarization",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
     "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
