@@ -228,7 +228,13 @@ def agg_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrates uniformly, agg_ad_2sample weights the tails,
     agg_bws_test weights by the null variance. Strict ranks use the
     (cents, o_orderkey) tiebreak — the BWS no-ties adaptation,
-    identical on both engines. EVERYTHING is exact integer until the
+    identical on both engines — and on the Spark side BOTH rank
+    columns are block-ranked (api.exact_global_rank: the combined
+    rank over all orders, then one pass per sample for the
+    within-sample index; three block-ranked passes, NO
+    single-partition window ever touches the fact table — the
+    oracle's plain row_number windows are the single-node twin).
+    EVERYTHING is exact integer until the
     final division: U, nm(4mn−1), 6nmN in DECIMAL(38)/HUGEINT
     (U ≤ N⁴ stays inside DECIMAL(38) to ~sf200 / N ≈ 3·10⁸ orders —
     the agg_wilcoxon_signedrank-style stated envelope), and the 5%
@@ -241,22 +247,29 @@ def agg_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one block-rankable pass over orders (global +
     per-sample rank windows on the same key order), one 1-row
     moment reduce."""
+    from hadoop_deliver_spark import api
+
     o = tbl(spark, sf_dir, "orders")
     base = o.select(
         (dec2("o_totalprice") * 100).cast("long").alias("cents"),
         (F.col("o_orderpriority") == "1-URGENT").alias("urg"),
         "o_orderkey",
     )
-    rk = base.select(
-        "urg",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .cast("long")
-        .alias("r"),
-        F.row_number()
-        .over(Window.partitionBy("urg").orderBy("cents", "o_orderkey"))
-        .cast("long")
-        .alias("i"),
+    ranked = api.exact_global_rank(base, "cents", "o_orderkey", "r")
+    rk = (
+        api.exact_global_rank(
+            ranked.filter(F.col("urg")), "cents", "o_orderkey", "i"
+        )
+        .unionAll(
+            api.exact_global_rank(
+                ranked.filter(~F.col("urg")), "cents", "o_orderkey", "i"
+            )
+        )
+        .select(
+            "urg",
+            F.col("r").cast("long").alias("r"),
+            F.col("i").cast("long").alias("i"),
+        )
     )
     gap = (F.col("r") - F.col("i")).cast("decimal(38,0)") * (
         F.col("r") - F.col("i")

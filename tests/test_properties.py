@@ -586,6 +586,48 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # block-ranked rank windows partition by block (api core); the
     # SinglePartition is the 1-row count broadcast / band reduce
     "agg_palma_ratio",
+    # ---- round-11 waves 78-90 ----
+    # block-ranked midrank windows (api core, the agg_mann_whitney
+    # shape); SinglePartition is the 1-row moment reduce
+    "agg_mw_effect_size",
+    # block-ranked rank windows (api core); SinglePartition is the
+    # 1-row rank-weighted moment reduce
+    "agg_gini_mean_difference",
+    # THREE block-ranked passes (combined rank + one per sample, api
+    # core); SinglePartition is the 1-row U reduce
+    "agg_cvm_2sample",
+    # block-ranked rank + split windows (api core); SinglePartition
+    # is the 1-row corpus-count / moment reduce
+    "agg_wolfson_polarization",
+    # block-ranked ntile core (api); the cumulative window runs over
+    # the FIXED 10-row decile table (single partition is the right
+    # plan for 10 rows); SinglePartition also covers the 1-row totals
+    "agg_cumulative_gains",
+    # the rank windows partition by RATER over the calendar-bounded
+    # weekly grid; SinglePartitions are the 1-row A/T² reduces
+    "agg_gwet_ac1",
+    # the rank windows partition by HALF (the shorrocks frame — at
+    # 100 TB block-rankable the api way, stated in the docstring);
+    # SinglePartitions are the 1-row marginal/pivot reduces
+    "agg_scott_pi",
+    # same shorrocks per-half rank shape; SinglePartition is the
+    # 1-row footrule/moment reduce
+    "agg_spearman_footrule",
+    # lead/lag/rolling/row_number windows run over the
+    # calendar-bounded daily series (the ts_* bounded-window shape);
+    # SinglePartitions are the 1-row moment/quantizer reduces
+    "ts_von_neumann_ratio",
+    "ts_difference_sign",
+    "ts_foster_stuart_records",
+    "ts_diebold_mariano",
+    "ts_tracking_signal",
+    "ts_pinball_loss",
+    # cumsum window over the calendar-bounded daily axis;
+    # SinglePartition is the 1-row bounds/max-gap reduce
+    "orders_ks_uniform_dates",
+    # lag window partitions by USER; the ≤5-node BFS tables reduce to
+    # 1-row scalars (hmax) — that reduce is the SinglePartition
+    "graph_harmonic_centrality",
     # block-ranked rank windows partition by block (api core); the
     # SinglePartition is the 1-row Σry reduce
     "agg_concentration_index",
