@@ -291,6 +291,10 @@ _NESTED_LOOP_OK = {
     "orders_ks_uniform_dates",
     # 1-row corpus-count scalar onto the block-ranked pass
     "agg_wolfson_polarization",
+    # TRUE pairwise join of the CALENDAR-BOUNDED daily series with
+    # itself (≤2.4k × 2.4k at any corpus scale — the
+    # agg_hl_shift_2sample argument) + 1-row moment broadcast
+    "ts_qn_scale",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
     "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
@@ -625,6 +629,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # cumsum window over the calendar-bounded daily axis;
     # SinglePartition is the 1-row bounds/max-gap reduce
     "orders_ks_uniform_dates",
+    # row_number window over the calendar-bounded daily axis (the
+    # ts_* bounded-window shape); SinglePartitions are the 1-row
+    # percentile/moment reduces
+    "ts_qn_scale",
     # lag window partitions by USER; the ≤5-node BFS tables reduce to
     # 1-row scalars (hmax) — that reduce is the SinglePartition
     "graph_harmonic_centrality",
