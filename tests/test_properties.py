@@ -295,6 +295,8 @@ _NESTED_LOOP_OK = {
     # itself (≤2.4k × 2.4k at any corpus scale — the
     # agg_hl_shift_2sample argument) + 1-row moment broadcast
     "ts_qn_scale",
+    # 1-row centerline total broadcast onto the bounded daily series
+    "events_c_chart",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
     "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
