@@ -297,6 +297,8 @@ _NESTED_LOOP_OK = {
     "ts_qn_scale",
     # 1-row centerline total broadcast onto the bounded daily series
     "events_c_chart",
+    # 1-row runs-count scalar broadcast onto the 1-row sample totals
+    "orders_runs_ww",
     # 1-row moment frame × two 1-row top/bottom-3 ladder frames
     "ts_generalized_esd",
     "llm_sim_ivf",         # 10-row centroid table broadcast
@@ -635,6 +637,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # ts_* bounded-window shape); SinglePartitions are the 1-row
     # percentile/moment reduces
     "ts_qn_scale",
+    # block-ranked rank windows partition by block (api core); the
+    # SinglePartitions are the 1-row runs/total reduces
+    "orders_runs_ww",
     # lag window partitions by USER; the ≤5-node BFS tables reduce to
     # 1-row scalars (hmax) — that reduce is the SinglePartition
     "graph_harmonic_centrality",
