@@ -69,6 +69,7 @@ __all__ = [
     "ewma_smooth",
     "holt_smooth",
     "winnow_fingerprints",
+    "clear_stage_caches",
 ]
 
 
@@ -175,6 +176,13 @@ def minhash_pairs(
     query instead of recomputing). At 100 TB, if recomputation-on-
     loss matters, materialize the shingle stage to a table (or use
     reliable ``checkpoint()``) and pass that in instead.
+
+    Caching contract: that stage is memoized per (application, plan,
+    source-file listing) and shared with the other dedup operators.
+    File rewrites are detected automatically (fresh part-file names →
+    fresh key); if you mutate the SAME files in place within one
+    application, or lose an executor, call
+    :func:`clear_stage_caches` before the next call.
 
     >>> minhash_pairs(docs, "doc_id", "text", threshold=0.5)
     """
@@ -804,13 +812,55 @@ def char_gram_sets(
 #: over the corpus) is the single most re-evaluated stage in a full
 #: query-suite run — jaccard, containment, and their report queries
 #: each re-derived it from scratch pre-round-11. Keyed by
-#: (applicationId, df.semanticHash(), schema, id_col, text_col, k);
-#: same contract as the component-label cache: the underlying table
-#: must not change within one application (true for the driver, the
-#: sim, tests, and bench). FIFO-capped — evicted DataFrames are GC'd
-#: and the ContextCleaner releases their checkpoint blocks.
+#: (applicationId, df.semanticHash(), schema, inputFiles snapshot,
+#: id_col, text_col, k). The inputFiles snapshot (sorted source-file
+#: listing) is the DATA-version component: rewriting a parquet path
+#: produces fresh UUID part-file names, so a re-read of the same path
+#: misses the cache instead of returning stale grams (round-11 advice
+#: item). Residual contract — in-place mutation of the SAME file
+#: names within one application (or non-file sources, where
+#: inputFiles() is empty) is still assumed not to happen; callers
+#: that do that must call :func:`clear_stage_caches` first. The
+#: cached stages are ``localCheckpoint`` blocks: NON-recoverable
+#: after an executor loss — :func:`clear_stage_caches` also resets
+#: that state so the next call recomputes. FIFO-capped — evicted
+#: DataFrames are GC'd and the ContextCleaner releases their blocks.
 _GRAM_STAGE_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _GRAM_STAGE_CACHE_MAX = 8
+
+
+def _data_version(df: DataFrame) -> int:
+    """Driver-side data-version fingerprint for stage-cache keys: a
+    hash of the sorted source-file listing behind ``df``. File-based
+    rewrites (new part-file UUIDs) change it; non-file sources hash
+    the empty listing (fall back to plan-only keying)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file plans (e.g. in-memory relations)
+        files = []
+    return hash(tuple(sorted(files)))
+
+
+def clear_stage_caches() -> None:
+    """Drop every session-memoized dedup stage: the gram/shingle
+    ``localCheckpoint`` memo here and the near-dup component-label
+    cache in ``operators.llm_text``. Call this after mutating a
+    source table in place within one application, or after an
+    executor loss (the memoized localCheckpoint blocks are not
+    fault-tolerant — a later cache hit would fail on truncated
+    lineage instead of recomputing)."""
+    _GRAM_STAGE_CACHE.clear()
+    try:
+        from hadoop_deliver_spark.operators import llm_text
+
+        for cached in llm_text._cc_cache.values():
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        llm_text._cc_cache.clear()
+    except Exception:
+        pass
 
 
 def _staged_gram_sets(
@@ -828,6 +878,7 @@ def _staged_gram_sets(
         spark.sparkContext.applicationId,
         df.semanticHash(),
         str(df.schema),
+        _data_version(df),
         id_col,
         text_col,
         k,
@@ -861,6 +912,7 @@ def _staged_shingle_sets(
         spark.sparkContext.applicationId,
         df.semanticHash(),
         str(df.schema),
+        _data_version(df),
         id_col,
         text_col,
         k,
@@ -947,6 +999,10 @@ def jaccard_pairs(
     loss mid-query fails the query instead of recomputing). At
     100 TB, if recomputation-on-loss matters, materialize the gram
     stage to a table (or use reliable ``checkpoint()``) upstream.
+    The stage is memoized per (application, plan, source-file
+    listing); in-place same-file mutation within one application
+    needs :func:`clear_stage_caches` first (file REWRITES re-key
+    automatically via the part-file listing).
 
     >>> jaccard_pairs(docs, "pk", "body", threshold=0.6)
     """
@@ -1163,7 +1219,10 @@ def containment_pairs(
     stage is
     ``localCheckpoint``-ed — same immediate-job / truncated-lineage
     trade as :func:`jaccard_pairs`; materialize the gram stage
-    upstream if recomputation-on-loss matters.
+    upstream if recomputation-on-loss matters. Same memo contract
+    too: keyed by (application, plan, source-file listing); call
+    :func:`clear_stage_caches` after in-place same-file mutation or
+    an executor loss.
 
     >>> containment_pairs(docs, "pk", "body", threshold=0.9)
     """

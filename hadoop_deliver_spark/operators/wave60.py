@@ -337,9 +337,11 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tr AS (
         SELECT stay_n, total_n,
-               CAST(dc1 AS DOUBLE) / rt1 + CAST(dc2 AS DOUBLE) / rt2
-               + CAST(dc3 AS DOUBLE) / rt3 + CAST(dc4 AS DOUBLE) / rt4
-               + CAST(dc5 AS DOUBLE) / rt5 AS trace_p
+               COALESCE(CAST(dc1 AS DOUBLE) / rt1, 0.0)
+               + COALESCE(CAST(dc2 AS DOUBLE) / rt2, 0.0)
+               + COALESCE(CAST(dc3 AS DOUBLE) / rt3, 0.0)
+               + COALESCE(CAST(dc4 AS DOUBLE) / rt4, 0.0)
+               + COALESCE(CAST(dc5 AS DOUBLE) / rt5, 0.0) AS trace_p
         FROM piv
     )
     SELECT total_n AS n_customers, stay_n AS n_stayers,
@@ -431,9 +433,16 @@ def customers_shorrocks_mobility(
         F.sum("dc").cast("long").alias("stay_n"),
         F.sum("rt").cast("long").alias("total_n"),
     )
+    # Each quintile term is NULL-guarded: a degenerate corpus with <5
+    # both-halves customers leaves some quintile absent (rt_k NULL);
+    # the pre-pivot aggregated sum skipped such cells, so coalesce-0
+    # preserves that semantics in the fixed textual order (round-11
+    # advice). Oracle mirrors with COALESCE.
     trace = None
     for k in range(1, 6):
-        term = F.col(f"dc{k}").cast("double") / F.col(f"rt{k}")
+        term = F.coalesce(
+            F.col(f"dc{k}").cast("double") / F.col(f"rt{k}"), F.lit(0.0)
+        )
         trace = term if trace is None else trace + term
     tr = piv.select("stay_n", "total_n", trace.alias("trace_p"))
     return tr.select(

@@ -86,14 +86,18 @@ def ts_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis (≤ days²/2 rows at ANY corpus scale — the ts_theil_sen
     frame argument) and every difference is an exact integer, so the
     order-statistic selection is exact: the oracle ranks by (d, i,
-    j) and picks rank k; the Spark side evaluates ONE exact
-    sort-based percentile at the literal fraction (k−1)/(m−1) —
-    which the continuous definition places exactly ON the k-th
-    element (h = 1+(m−1)·f = k), with a round-to-long erasing the
-    ulp-scale interpolation weight between integer-valued neighbors
-    (value selection needs no tiebreak: equal values are equal).
-    The n/k/m scalars come from a count of the bounded daily axis —
-    the split-probe budget the block-ranked cores already use.
+    j) and picks rank k; the Spark side selects by EXACT INTEGER
+    RANK — the pair table reduces to (d, count) by a map-side-
+    combined groupBy, the block-ranked keyed cumsum
+    (:func:`~hadoop_deliver_spark.api.exact_global_keyed_cumsum`)
+    accumulates counts over d ascending with no single-partition
+    window, and the answer is min d with cum ≥ k. No float-fraction
+    percentile anywhere (the r11 form interpolated at (k−1)/(m−1),
+    whose index can land an ulp off k — exact only while adjacent
+    difference gaps stay below ~1e9; this form is exact at ANY
+    magnitude). The n/k scalars come from a count of the bounded
+    daily axis — the split-probe budget the block-ranked cores
+    already use.
     The companion
     column is the exact-moment sample SD, and the verdict — Qn sits
     BELOW the SD, i.e. the tails inflate the classical estimate —
@@ -125,24 +129,25 @@ def ts_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("ya") - F.col("yb")).alias("d")
     )
     # scalar probes on the BOUNDED daily axis (one row per calendar
-    # day at any corpus scale): n days → m = n(n−1)/2 pairs, k =
-    # C(⌊n/2⌋+1, 2). The k-th order statistic is then ONE exact
-    # sort-based percentile at the literal fraction (k−1)/(m−1) —
-    # h = 1 + (m−1)·f = k lands ON the element, so the continuous
-    # interpolation contributes at most an ulp-scale weight between
-    # integer-valued neighbors, which the round-to-long erases.
-    # This replaces a full block-ranked pass over the ~n²/2 pair
-    # table with a single aggregate (measured 33 s → ~7 s).
+    # day at any corpus scale): n days → k = C(⌊n/2⌋+1, 2). Exact
+    # integer-rank selection: the ~n²/2 pair table reduces to
+    # (d, count) via a map-side-combined groupBy (far fewer rows
+    # than pairs), the block-ranked keyed cumsum accumulates counts
+    # over d ascending WITHOUT a single-partition window, and the
+    # k-th order statistic is min d with cum ≥ k. Exact at any value
+    # magnitude — the r11 percentile-at-(k−1)/(m−1) form could land
+    # an ulp off rank k once adjacent gaps exceeded ~1e9.
+    from hadoop_deliver_spark.api import exact_global_keyed_cumsum
+
     n_days = daily.count()
     h = n_days // 2 + 1
     k = h * (h - 1) // 2
-    m_pairs = n_days * (n_days - 1) // 2
-    frac = (k - 1) / (m_pairs - 1) if m_pairs > 1 else 0.0
-    sel = pairs.agg(
-        F.lit(n_days).cast("long").alias("n"),
-        F.round(F.percentile("d", F.lit(frac)), 0)
-        .cast("long")
-        .alias("q"),
+    byd = pairs.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cdf = exact_global_keyed_cumsum(byd, "d", "c", "d", "cum")
+    sel = (
+        cdf.filter(F.col("cum") >= k)
+        .agg(F.min("d").cast("long").alias("q"))
+        .select(F.lit(n_days).cast("long").alias("n"), "q")
     )
     mom = daily.agg(
         F.count(F.lit(1)).cast("long").alias("mn"),
