@@ -409,47 +409,87 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_multimodal_decode",
     """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+        FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT doc_id,
+           CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                 || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+                + w * h * 3 AS INT) AS payload_bytes,
+           80 AS first_byte,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                i -> (doc_id * 31 + 7 * i) % 256)) // (w * h * 3)
+                AS INT) AS mean_pixel,
+           'ppm-p6' AS decoder
+    FROM dims
+    UNION ALL
     SELECT doc_id,
            octet_length(encode(substr(text, 1, 32))) AS payload_bytes,
            unicode(substr(text, 1, 1)) AS first_byte,
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
            'stub-v1' AS decoder
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE doc_id % 4 <> 0
+    ORDER BY doc_id
     """,
 )
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: pack an opaque binary payload
-    column (here: utf-8 bytes of a text prefix standing in for
-    image/audio bytes), ship it through mapInPandas in Arrow batches,
-    and emit per-payload features. The decoder is the documented
-    `stub-v1` contract: deterministic byte-level features computed
-    UNCONDITIONALLY (real pixel decode is future work and must not be
-    toggled by what happens to be importable — the stub IS the
-    behavior the oracle checks, with or without PIL installed); the
-    schema, binary transport, batching, and UDF signature are the
-    real production shape."""
+    """Multimodal decode with a REAL codec: payloads whose magic
+    bytes are ``P6`` are genuine Netpbm PPM files
+    (``stage_multimodal_payloads`` builds them from the closed-form
+    pixel law; docs with ``doc_id % 4 == 0``); the decoder parses the
+    ACTUAL header bytes via ``codecs.ppm_decode`` (whitespace/comment
+    handling per the public spec) and emits the parsed width/height
+    and the floor-mean of the real raster bytes, ``decoder =
+    'ppm-p6'``. Any other magic keeps the documented ``stub-v1``
+    contract — raw byte-level features, NULL image features. The
+    oracle predicts the PPM rows purely from the pixel law (it never
+    constructs a byte), so header parsing and raster arithmetic are
+    load-bearing, not decorative. Schema, binary Arrow transport,
+    batching, and UDF signature are the production shape; map-only
+    at any scale."""
     import pandas as pd
 
+    from hadoop_deliver_spark import codecs
+    from hadoop_deliver_spark.operators.wave5 import (
+        stage_multimodal_payloads,
+    )
+
     def decode(batches):
+        import numpy as np
+
         for pdf in batches:
-            payloads = pdf["payload"]
-            # stub-v1: deterministic features from the raw bytes
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload_bytes": payloads.map(len),
-                    "first_byte": payloads.map(lambda b: b[0]),
-                    "decoder": "stub-v1",
-                }
-            )
+            rows = {
+                "doc_id": [], "payload_bytes": [], "first_byte": [],
+                "width": [], "height": [], "mean_pixel": [], "decoder": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                rows["payload_bytes"].append(len(payload))
+                rows["first_byte"].append(payload[0])
+                if bytes(payload[:2]) == codecs.PPM_MAGIC:
+                    w, h, px, _ = codecs.ppm_decode(payload)
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_pixel"].append(
+                        int(arr.astype(np.int64).sum()) // len(px)
+                    )
+                    rows["decoder"].append("ppm-p6")
+                else:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mean_pixel"].append(None)
+                    rows["decoder"].append("stub-v1")
+            yield pd.DataFrame(rows)
 
     d = tbl(spark, sf_dir, "documents")
-    packed = d.select(
-        "doc_id",
-        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
-    )
+    packed = stage_multimodal_payloads(d, text_prefix=32)
     return packed.mapInPandas(
         decode,
-        "doc_id bigint, payload_bytes int, first_byte int, decoder string",
+        "doc_id bigint, payload_bytes int, first_byte int, width int, "
+        "height int, mean_pixel int, decoder string",
     ).orderBy("doc_id")
 
 

@@ -8,13 +8,21 @@ frame sampling.
   can express: concurrency is a PREFIX SUM over interval boundary
   events, not a property of any single row.
 - llm_multimodal_framesample / llm_multimodal_resize: every-kth-frame
-  sampling over an opaque video-bytes column and factor-2 byte
-  downsampling of an image-bytes column — completing the multimodal
-  plumbing family (decode / feature-extract / resize / frame-sample /
-  pack); the real codecs are stubbed (no image/video libs in this
-  container) behind deterministic byte-level features, with the
-  Spark-side schema, Arrow batching, per-frame explode, and stride
-  arithmetic real and oracle-checked.
+  sampling over a video-bytes column and 2×2 box-filter downsampling
+  of an image-bytes column. Since round 12 these run a REAL codec on
+  real pixel data: payloads whose magic bytes are ``P6`` are genuine
+  Netpbm PPM images (multi-frame concatenations for the video case),
+  decoded/re-encoded by the pure-Python codec in
+  ``hadoop_deliver_spark.codecs`` (the avro_io.py precedent — format
+  implemented from its public spec, cross-validated against an
+  independent decoder in tests); payloads with any other magic keep
+  the documented ``stub-v1`` byte-stride contract. The fixture has no
+  binary column, so a staging pass SYNTHESIZES the payloads: docs with
+  ``doc_id % 4 == 0`` get a real PPM file built from the closed-form
+  pixel law ``(doc_id*31 + phase*101 + 7*i) mod 256`` — which the
+  DuckDB oracle recomputes WITHOUT ever seeing a byte, so a wrong
+  header parse, wrong stride, or wrong box-filter round shows up as a
+  hash mismatch — and the rest carry opaque utf-8 text bytes.
 """
 
 from __future__ import annotations
@@ -24,6 +32,52 @@ from pyspark.sql import functions as F
 
 from hadoop_deliver_spark.registry import register
 from hadoop_deliver_spark.tables import tbl
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc synthetic image dims (4..16 × 4..14) — doc-dependent so
+    header parsing is load-bearing (no constant the decoder could
+    shortcut)."""
+    return 4 + doc_id % 13, 4 + doc_id % 11
+
+
+def stage_multimodal_payloads(df: DataFrame, *, text_prefix: int | None,
+                              n_frames: bool = False) -> DataFrame:
+    """(doc_id, payload binary) staging pass shared by the multimodal
+    trio: docs with ``doc_id % 4 == 0`` get a REAL P6 PPM payload
+    (``n_frames=True`` → a concatenation of ``1 + doc_id % 5`` frames,
+    phase-shifted pixels per frame — the 'video' container), everyone
+    else gets opaque utf-8 text bytes (full text, or its first
+    ``text_prefix`` chars). Map-only; payloads stay ≤ ~3.4 KB."""
+    import pandas as pd
+
+    from hadoop_deliver_spark import codecs
+
+    def stage(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 4 == 0:
+                    w, h = _ppm_dims(doc_id)
+                    frames = range(1 + doc_id % 5) if n_frames else (0,)
+                    payloads.append(
+                        b"".join(
+                            codecs.ppm_encode(
+                                w, h, codecs.synth_pixels(doc_id, w, h, f)
+                            )
+                            for f in frames
+                        )
+                    )
+                else:
+                    t = text if text_prefix is None else text[:text_prefix]
+                    payloads.append(t.encode("utf-8"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        stage, "doc_id bigint, payload binary"
+    )
 
 
 @register(
@@ -86,64 +140,139 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_multimodal_framesample",
     """
-    SELECT doc_id, CAST(idx AS INT) AS frame_idx,
-           unicode(substr(text, CAST(idx * 16 + 1 AS BIGINT), 1))
-               AS first_byte,
-           'stub-v1' AS codec
-    FROM (
+    WITH ppm AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+               unnest(range(0, 1 + doc_id % 5, 2)) AS f
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    stub AS (
         SELECT doc_id, text,
                unnest(range(0,
                    least(CAST(ceil(length(text) / 16.0) AS BIGINT), 32),
                    4)) AS idx
-        FROM documents
+        FROM documents WHERE doc_id % 4 <> 0
     )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST((doc_id * 31 + f * 101) % 256 AS INT) AS first_byte,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                i -> (doc_id * 31 + f * 101 + 7 * i) % 256))
+                // (w * h * 3) AS INT) AS frame_mean,
+           'ppm-p6' AS codec
+    FROM ppm
+    UNION ALL
+    SELECT doc_id, CAST(idx AS INT),
+           unicode(substr(text, CAST(idx * 16 + 1 AS BIGINT), 1)),
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+           'stub-v1'
+    FROM stub
     ORDER BY doc_id, frame_idx
     """,
     tags=("llm", "multimodal"),
 )
 def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling plumbing: treat an opaque binary payload
-    (here: utf-8 bytes of the text standing in for container bytes;
-    fixture text is pure ASCII, so byte offsets equal char offsets and
-    the oracle can address the same bytes with substr) as a sequence
-    of 16-byte frames, sample every 4th frame up to 8 frames per doc,
-    and emit one row per sampled frame with a byte-level feature. The
-    codec is the documented `stub-v1` contract — deterministic
-    byte-stride demux computed UNCONDITIONALLY (real container demux
-    is future work; behavior must not depend on whether a codec
-    library is importable); the production shape (binary column in,
-    mapInPandas Arrow batches, per-frame explode out, frame-index
-    arithmetic) is real and oracle-checked. At 100 TB the payload
-    column stays opaque bytes in parquet and this op is map-only —
-    no shuffle until a downstream aggregate."""
+    """Video frame sampling with a REAL container demux: payloads
+    whose magic is ``P6`` are concatenations of 1–5 genuine PPM
+    frames (``stage_multimodal_payloads(n_frames=True)``); the
+    sampler walks the stream with ``codecs.ppm_decode`` — each
+    frame's position is knowable ONLY by parsing the previous frame's
+    header, the defining property of real demuxing — keeps every 2nd
+    frame, and emits its parsed dims + floor-mean pixel. Any other
+    magic keeps the documented ``stub-v1`` byte-stride contract
+    (16-byte frames, every 4th, ≤ 32) with NULL image features. The
+    oracle predicts the PPM rows from the closed-form pixel law
+    without touching a byte — a wrong header parse or frame offset
+    hash-mismatches. Map-only at any scale; at 100 TB the payload
+    column stays opaque bytes in parquet and partitions by file
+    splits."""
     import pandas as pd
 
-    frame, step, cap = 16, 4, 32  # 16-byte frames, every 4th, idx < 32
+    from hadoop_deliver_spark import codecs
+
+    frame, step, cap = 16, 4, 32  # stub-v1: 16-byte frames, every 4th
 
     def sample(batches):
+        import numpy as np
+
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "first_byte": []}
+            rows = {
+                "doc_id": [], "frame_idx": [], "first_byte": [],
+                "width": [], "height": [], "frame_mean": [], "codec": [],
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = (len(payload) + frame - 1) // frame
-                for idx in range(0, min(n_frames, cap), step):
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["first_byte"].append(payload[idx * frame])
-            out = pd.DataFrame(rows)
-            out["codec"] = "stub-v1"
-            yield out
+                if bytes(payload[:2]) == codecs.PPM_MAGIC:
+                    frames, off = [], 0
+                    while off < len(payload):
+                        w, h, px, off = codecs.ppm_decode(payload, off)
+                        frames.append((w, h, px))
+                    for f in range(0, len(frames), 2):
+                        w, h, px = frames[f]
+                        arr = np.frombuffer(px, dtype=np.uint8)
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(f)
+                        rows["first_byte"].append(int(px[0]))
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["frame_mean"].append(
+                            int(arr.sum()) // len(px)
+                        )
+                        rows["codec"].append("ppm-p6")
+                else:
+                    n_frames = (len(payload) + frame - 1) // frame
+                    for idx in range(0, min(n_frames, cap), step):
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(idx)
+                        rows["first_byte"].append(payload[idx * frame])
+                        rows["width"].append(None)
+                        rows["height"].append(None)
+                        rows["frame_mean"].append(None)
+                        rows["codec"].append("stub-v1")
+            yield pd.DataFrame(rows)
 
     d = tbl(spark, sf_dir, "documents")
-    packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    packed = stage_multimodal_payloads(d, text_prefix=None, n_frames=True)
     return packed.mapInPandas(
         sample,
-        "doc_id bigint, frame_idx int, first_byte int, codec string",
+        "doc_id bigint, frame_idx int, first_byte int, width int, "
+        "height int, frame_mean int, codec string",
     ).orderBy("doc_id", "frame_idx")
 
 
 @register(
     "llm_multimodal_resize",
     """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+               (4 + doc_id % 13) // 2 AS w2, (4 + doc_id % 11) // 2 AS h2
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    px AS (
+        SELECT doc_id, w, h, w2, h2,
+               list_transform(range(0, w2 * h2 * 3), j ->
+                 ( (doc_id*31 + 7*((2*((j//3)//w2)*w + 2*((j//3)%w2))*3
+                                   + j%3)) % 256
+                 + (doc_id*31 + 7*((2*((j//3)//w2)*w + 2*((j//3)%w2)
+                                    + 1)*3 + j%3)) % 256
+                 + (doc_id*31 + 7*(((2*((j//3)//w2) + 1)*w
+                                    + 2*((j//3)%w2))*3 + j%3)) % 256
+                 + (doc_id*31 + 7*(((2*((j//3)//w2) + 1)*w
+                                    + 2*((j//3)%w2) + 1)*3 + j%3)) % 256
+                 ) // 4) AS small
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                 || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+                + w * h * 3 AS INT) AS orig_bytes,
+           CAST(length('P6' || chr(10) || CAST(w2 AS VARCHAR) || ' '
+                 || CAST(h2 AS VARCHAR) || chr(10) || '255' || chr(10))
+                + w2 * h2 * 3 AS INT) AS resized_bytes,
+           CAST(small[1] AS INT) AS resized_first_byte,
+           CAST(list_sum(small) % 2147483647 AS BIGINT)
+               AS resized_checksum,
+           'ppm-p6' AS codec
+    FROM px
+    UNION ALL
     SELECT doc_id,
            CAST(length(text) AS INT) AS orig_bytes,
            CAST(ceil(length(text) / 2.0) AS INT) AS resized_bytes,
@@ -151,50 +280,73 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_aggregate(
                list_transform(range(1, length(text) + 1, 2),
                    i -> unicode(substr(text, CAST(i AS BIGINT), 1))),
-               'sum') % 2147483647 AS BIGINT) AS resized_checksum
-    FROM documents ORDER BY doc_id
+               'sum') % 2147483647 AS BIGINT) AS resized_checksum,
+           'stub-v1' AS codec
+    FROM documents WHERE doc_id % 4 <> 0
+    ORDER BY doc_id
     """,
     tags=("llm", "multimodal"),
 )
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing: opaque image-bytes column in, resized
-    payload out — here a deterministic factor-2 byte downsample
-    (every 2nd byte), the documented `stub-v1` contract standing in
-    for a real image resize (future work; computed UNCONDITIONALLY —
-    behavior must not depend on whether an image library is
-    importable). Emits the resized payload's length, first byte,
-    and mod-2³¹−1 checksum so the oracle can verify the stride
-    arithmetic byte-for-byte (fixture text is pure ASCII, so the SQL
-    side addresses the same bytes via substr). Completes the
-    decode / feature-extract / resize / frame-sample multimodal
-    plumbing family; map-only at any scale."""
+    """Image resize with a REAL codec on real pixel data: payloads
+    whose magic is ``P6`` are genuine PPM files
+    (``stage_multimodal_payloads``); the operator parses the actual
+    header bytes (``codecs.ppm_decode``), runs the vectorized integer
+    2×2 box filter (``codecs.box_downsample2`` — floor mean of each
+    block, numpy inside mapInPandas), re-encodes the resized image,
+    and emits the resized FILE length plus first-pixel-byte and
+    mod-2³¹−1 checksum of the resized raster. Payloads with any
+    other magic keep the documented ``stub-v1`` every-2nd-byte
+    contract. The oracle recomputes the PPM rows purely from the
+    closed-form pixel law — every output byte of the box filter is
+    predicted with integer arithmetic that never touches the codec,
+    so a wrong filter round, stride, or header length mismatches.
+    Map-only at any scale."""
     import pandas as pd
 
+    from hadoop_deliver_spark import codecs
+
+    M = 2147483647
+
     def resize(batches):
+        import numpy as np
+
         for pdf in batches:
             out = {
                 "doc_id": [], "orig_bytes": [], "resized_bytes": [],
                 "resized_first_byte": [], "resized_checksum": [],
+                "codec": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                small = payload[::2]
                 out["doc_id"].append(doc_id)
                 out["orig_bytes"].append(len(payload))
-                out["resized_bytes"].append(len(small))
-                out["resized_first_byte"].append(
-                    small[0] if small else None
-                )
-                out["resized_checksum"].append(
-                    sum(small) % 2147483647
-                )
+                if bytes(payload[:2]) == codecs.PPM_MAGIC:
+                    w, h, px, _ = codecs.ppm_decode(payload)
+                    w2, h2, small = codecs.box_downsample2(w, h, px)
+                    resized = codecs.ppm_encode(w2, h2, small)
+                    arr = np.frombuffer(small, dtype=np.uint8)
+                    out["resized_bytes"].append(len(resized))
+                    out["resized_first_byte"].append(int(small[0]))
+                    out["resized_checksum"].append(
+                        int(arr.astype(np.int64).sum()) % M
+                    )
+                    out["codec"].append("ppm-p6")
+                else:
+                    small = payload[::2]
+                    out["resized_bytes"].append(len(small))
+                    out["resized_first_byte"].append(
+                        small[0] if small else None
+                    )
+                    out["resized_checksum"].append(sum(small) % M)
+                    out["codec"].append("stub-v1")
             yield pd.DataFrame(out)
 
     d = tbl(spark, sf_dir, "documents")
-    packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    packed = stage_multimodal_payloads(d, text_prefix=None)
     return packed.mapInPandas(
         resize,
         "doc_id bigint, orig_bytes int, resized_bytes int, "
-        "resized_first_byte int, resized_checksum bigint",
+        "resized_first_byte int, resized_checksum bigint, codec string",
     ).orderBy("doc_id")
 
 

@@ -1553,16 +1553,18 @@ def test_rocksdb_session_variant_matches_and_flip_is_real(spark, sf_dir):
 
 
 def test_multimodal_stub_is_unconditional(spark, duck, sf_dir, monkeypatch):
-    """The three multimodal stubs (llm_multimodal_decode / _resize /
-    _framesample) are the documented `stub-v1` contract and must run
-    UNCONDITIONALLY — behavior may not depend on whether PIL/av happen
-    to be importable (the r9 verdict's top finding: the old import
-    gates flipped green queries to NotImplementedError the moment
-    someone pip-installed pillow). Two assertions: (1) the operator
-    sources contain no PIL/av import probes at all; (2) with fake
-    `PIL` and `av` modules injected into sys.modules (driver) AND
-    shipped to the Python workers via addPyFile, all three queries
-    still return the oracle-matching stub result."""
+    """The three multimodal operators (llm_multimodal_decode /
+    _resize / _framesample) must behave identically whether or not
+    PIL/av happen to be importable (the r9 verdict's top finding: the
+    old import gates flipped green queries to NotImplementedError the
+    moment someone pip-installed pillow). Since round 12 the P6 path
+    runs the REAL pure-Python PPM codec (hadoop_deliver_spark.codecs)
+    and opaque payloads keep `stub-v1` — still zero dependence on
+    external codec libs. Two assertions: (1) the operator sources
+    contain no PIL/av import probes at all; (2) with fake `PIL` and
+    `av` modules injected into sys.modules (driver) AND shipped to
+    the Python workers via addPyFile, all three queries still return
+    the oracle-matching result."""
     import os
     import sys
     import tempfile
