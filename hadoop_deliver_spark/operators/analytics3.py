@@ -182,11 +182,15 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe rewrite — each interval becomes TWO delta events (+1
     at open day, -1 the day after close), a day-keyed aggregate nets
     them, and a running sum over the day axis reconstructs the count.
-    The fact tables are touched only by keyed shuffles; the final
-    window IS single-partition by construction, but over the
-    calendar-bounded day axis (~2.5k rows for a 7-year span at ANY
-    data scale) — allowlisted with ts_resample_gapfill's rationale,
-    not a whole-table funnel."""
+    The fact tables are touched only by keyed shuffles; the running
+    sum is the BLOCK-RANKED keyed cumsum core
+    (api.exact_global_keyed_cumsum over the epoch-day axis — windows
+    partition by block, integer measures make the block carry exact),
+    so NO single-partition window exists in the plan at all (round-12
+    conversion; the day axis was calendar-bounded anyway, but the
+    block-ranked spelling removes even that reliance)."""
+    from hadoop_deliver_spark.api import exact_global_keyed_cumsum
+
     o = tbl(spark, sf_dir, "orders")
     li = tbl(spark, sf_dir, "lineitem")
     iv = (
@@ -197,12 +201,18 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = iv.select(F.col("sd").alias("day"), F.lit(1).alias("d")).unionAll(
         iv.select(F.date_add("ed", 1).alias("day"), F.lit(-1).alias("d"))
     )
-    byday = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("net"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return byday.select(
+    byday = (
+        deltas.groupBy("day")
+        .agg(F.sum("d").cast("long").alias("net"))
+        .withColumn(
+            "di", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    cum = exact_global_keyed_cumsum(byday, "di", "net", "di", "open_orders")
+    return cum.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "net",
-        F.sum("net").over(w).cast("long").alias("open_orders"),
+        F.col("open_orders").cast("long").alias("open_orders"),
     ).orderBy("day")
 
 

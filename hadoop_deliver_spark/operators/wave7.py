@@ -366,8 +366,10 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cs AS (
         SELECT day, cnt,
-               round(sum((cnt - st.m) / st.sd)
-                         OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+               round((CAST(sum(cnt) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      - CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                        * st.m) / st.sd,
                      4) AS cusum
         FROM daily CROSS JOIN st
     )
@@ -379,19 +381,30 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standardized CUSUM mean-shift scan (Page 1954) over the global
-    daily event count: S_t = Σ_{d≤t} (x_d − x̄)/s. A sustained level
+    daily event count: S_t = Σ_{d≤t} (x_d − x̄)/s, evaluated in the
+    algebraically equal closed form (Σ_{d≤t} x_d − t·x̄)/s — the
+    integer prefix sum Σx_d comes from the BLOCK-RANKED keyed cumsum
+    core and t from the block-ranked rank core
+    (api.exact_global_keyed_cumsum / exact_global_rank over the
+    epoch-day axis; windows partition by block, so NO
+    single-partition window exists in the plan — round-12
+    conversion), and the float arithmetic is ONE subtract/multiply/
+    divide in fixed textual order on both engines. A sustained level
     shift makes |S| ramp to a peak at the change day; is_peak flags
     the argmax. The flag compares the ROUNDED cusum to the rounded
-    maximum, so it is stable across engines whose float sums differ
-    in final ulps (and deterministically flags all tied days).
+    maximum, so it is stable across engines (and deterministically
+    flags all tied days).
 
     Scale shape: the fact table reduces to the day aggregate in one
-    keyed shuffle; every window after that runs over the
-    calendar-bounded day axis (≤ a few thousand rows at ANY corpus
-    scale — on the justified single-partition allowlist with
-    orders_open_backlog). The mean/σ pair is a 1-row aggregate
-    broadcast back by cross join, and the peak test reuses the same
-    1-row pattern on the rounded column."""
+    keyed shuffle; the prefix sums are block-ranked core passes. The
+    mean/σ pair is a 1-row aggregate broadcast back by cross join,
+    and the peak test reuses the same 1-row pattern on the rounded
+    column."""
+    from hadoop_deliver_spark.api import (
+        exact_global_keyed_cumsum,
+        exact_global_rank,
+    )
+
     e = tbl(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -399,12 +412,21 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = daily.agg(
         F.avg("cnt").alias("m"), F.stddev_samp("cnt").alias("sd")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cs = daily.crossJoin(F.broadcast(st)).select(
+    dd = daily.withColumn(
+        "di", F.datediff("day", F.lit("1970-01-01").cast("date"))
+    )
+    dd = exact_global_keyed_cumsum(dd, "di", "cnt", "di", "cum")
+    dd = exact_global_rank(dd, "di", "di", "t")
+    cs = dd.crossJoin(F.broadcast(st)).select(
         "day",
         "cnt",
         F.round(
-            F.sum((F.col("cnt") - F.col("m")) / F.col("sd")).over(w), 4
+            (
+                F.col("cum").cast("double")
+                - F.col("t").cast("double") * F.col("m")
+            )
+            / F.col("sd"),
+            4,
         ).alias("cusum"),
     )
     peak = cs.agg(F.max(F.abs("cusum")).alias("pk"))

@@ -94,7 +94,12 @@ def orders_ks_uniform_dates(
     discrete day grid — stated knob).
 
     Scale shape: one keyed reduce to the calendar-bounded daily
-    series, one bounded-axis cumsum window, a 1-row max reduce."""
+    series, the BLOCK-RANKED keyed cumsum core over the epoch-day
+    axis (api.exact_global_keyed_cumsum — windows partition by
+    block; no single-partition window in the plan, round-12
+    conversion), a 1-row max reduce."""
+    from hadoop_deliver_spark.api import exact_global_keyed_cumsum
+
     o = tbl(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -106,17 +111,19 @@ def orders_ks_uniform_dates(
         .alias("span"),
         F.sum("cnt").cast("long").alias("n"),
     )
-    steps = daily.crossJoin(F.broadcast(bounds)).select(
+    cumd = exact_global_keyed_cumsum(
+        daily.withColumn(
+            "di", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        ),
+        "di",
+        "cnt",
+        "di",
+        "c",
+    )
+    steps = cumd.crossJoin(F.broadcast(bounds)).select(
         (F.datediff("day", "d0") + 1).cast("long").alias("r"),
         "cnt",
-        F.sum("cnt")
-        .over(
-            Window.orderBy("day").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .cast("long")
-        .alias("c"),
+        F.col("c").cast("long").alias("c"),
         "span",
         "n",
     )

@@ -511,331 +511,86 @@ _NESTED_LOOP_OK = {
 # tell whether the Window sits ON the single partition), so 1-row
 # global aggregates elsewhere in the plan also land here.
 _SINGLE_PARTITION_WINDOW_OK = {
-    # the window runs over the ~20-row per-source aggregate, not the
-    # corpus; single partition is the right plan for 20 rows
+    # ------------------------------------------------------------------
+    # Queries whose optimized plan contains a GLOBAL window (empty
+    # partition spec — the only shape the tree-precise round-12 guard
+    # flags). Every entry's window runs over a frame whose row count is
+    # bounded INDEPENDENT of corpus size; the companion stale-entry
+    # assertion deletes entries the moment their query stops planning a
+    # global window.
+    # ------------------------------------------------------------------
+    # ~20-row per-source aggregate; single partition is the right plan
     "llm_mix_weights",
-    # the SinglePartition exchange is the 1-row bounds aggregate; the
-    # LOCF window itself partitions on the series key
-    "ts_resample_gapfill",
-    # same 1-row bounds aggregate; both interpolation windows partition
-    # on event_type
-    "ts_interpolate_linear",
-    # the running sum runs over the calendar-bounded day axis (~2.5k
-    # rows for the 7-year fixture span at ANY data scale), never the
-    # fact table — the fact side is reduced by keyed shuffles first
-    "orders_open_backlog",
-    # same bounded-axis argument: every KM window runs over the
-    # per-lifetime-DAY aggregate (cardinality = days of history at any
-    # corpus scale); the fact table is reduced by one keyed shuffle
-    # first. The SinglePartition also covers the 1-row corpus-max
-    # bounds aggregate.
+    # KM/NA windows run over the per-lifetime-DAY aggregate
+    # (cardinality = days of history at any corpus scale)
     "events_survival_km",
-    # the at-risk windows partition by group over the (day × 2) grid
-    # aggregate (KM's bounded-axis argument); SinglePartitions are the
-    # 1-row cutoff/statistic/cohort-size reduces
-    "events_survival_logrank",
-    # identical KM shape: cumulative-hazard windows over the per-day
-    # aggregate; SinglePartition is the 1-row cutoff bounds aggregate
     "events_survival_na",
-    # the prefix window partitions by group over the 250-cell literal
-    # (group × quantity) grid; SinglePartitions are the 1-row 2J and
-    # moment reduces
-    "agg_jonckheere_terpstra",
-    # position row_numbers run over the 20-row TRUNCATED top-k lists
-    # (TakeOrdered bounds them before the window); the SinglePartition
-    # also covers the 1-row RBO reduce
+    # position row_numbers over the 20-row TRUNCATED top-k lists
+    # (TakeOrdered bounds them before the window)
     "llm_rank_rbo",
-    # the rank window partitions by DAY over the (date × 5) grid
-    # (calendar-bounded); the SinglePartition is the 1-row L reduce
-    "agg_page_trend",
-    # block-ranked rank windows partition by block (api core); the
-    # SinglePartition is the 1-row pooled-count broadcast
-    "agg_ansari_bradley",
-    # block-ranked midrank windows (api core, the agg_mann_whitney
-    # shape); SinglePartition is the 1-row moment reduce
-    "agg_trend_cuzick",
-    # per-τ lag windows over the calendar-bounded block axis;
-    # SinglePartitions are the 1-row tau/cutoff reduces
-    "events_allan_variance",
-    # cumulative/lead windows over the ≤2·days delta change-point
-    # axis; SinglePartition is the 1-row conservation reduce
+    # cumulative/lead windows over the <=2*days delta change-point axis
     "orders_little_law",
-    # integer cumulative window over the bounded day axis;
-    # SinglePartition is the 1-row crossing reduce
-    "ts_sprt_wald",
-    # block-ranked rank windows partition by block (api core); the
-    # SinglePartitions are the 1-row W2/tie reduces
-    "agg_wilcoxon_signedrank",
-    # the within-block rank window partitions by WEEK; the range rank
-    # runs over the calendar-bounded week axis; SinglePartitions are
-    # the 5-row column and 1-row reduces
+    # rank windows over the calendar-bounded weekly/daily grids
+    # (the agg_quade week axis; conover's per-type daily series)
     "agg_quade",
-    # per-group and pooled rank windows run over the calendar-bounded
-    # per-type daily series (≤ 2·days rows); SinglePartitions are the
-    # 1-row reduces
     "agg_conover_squared_ranks",
-    # lag windows run over the calendar-bounded daily series (one row
-    # per date — the ts_* bounded-window shape)
+    # lag/lead/rank/count/prefix windows over the calendar-bounded
+    # daily series (one row per date at ANY corpus scale — the fact
+    # table is reduced by a keyed shuffle first; the ts_* shape)
     "ts_theil_u2",
-    # the rank window partitions by MONTH over the (month × 7) grid
-    # (calendar-bounded); SinglePartitions are the 7-row column and
-    # 1-row scalar reduces
-    "agg_kendall_w",
-    # rank/lead/count windows run over the calendar-bounded daily
-    # series (one row per date — the ts_* bounded-window shape)
     "ts_bartels_rvn",
-    # combined/within rank windows run over the calendar-bounded
-    # per-priority daily series (≤2·days rows); SinglePartitions are
-    # the 2-row sample reduces
-    "agg_brunner_munzel",
-    # identical shape to agg_brunner_munzel (shared placement
-    # machinery over the bounded per-priority daily series)
-    "agg_fligner_policello",
-    # block-ranked rank windows partition by block (api core); the
-    # SinglePartition is the 1-row count broadcast / band reduce
-    "agg_palma_ratio",
-    # ---- round-11 waves 78-90 ----
-    # block-ranked midrank windows (api core, the agg_mann_whitney
-    # shape); SinglePartition is the 1-row moment reduce
-    "agg_mw_effect_size",
-    # block-ranked rank windows (api core); SinglePartition is the
-    # 1-row rank-weighted moment reduce
-    "agg_gini_mean_difference",
-    # THREE block-ranked passes (combined rank + one per sample, api
-    # core); SinglePartition is the 1-row U reduce
-    "agg_cvm_2sample",
-    # block-ranked rank + split windows (api core); SinglePartition
-    # is the 1-row corpus-count / moment reduce
-    "agg_wolfson_polarization",
-    # block-ranked ntile core (api); the cumulative window runs over
-    # the FIXED 10-row decile table (single partition is the right
-    # plan for 10 rows); SinglePartition also covers the 1-row totals
-    "agg_cumulative_gains",
-    # the rank windows partition by RATER over the calendar-bounded
-    # weekly grid; SinglePartitions are the 1-row A/T² reduces
-    "agg_gwet_ac1",
-    # the rank windows partition by HALF (the shorrocks frame — at
-    # 100 TB block-rankable the api way, stated in the docstring);
-    # SinglePartitions are the 1-row marginal/pivot reduces
-    "agg_scott_pi",
-    # same shorrocks per-half rank shape; SinglePartition is the
-    # 1-row footrule/moment reduce
-    "agg_spearman_footrule",
-    # lead/lag/rolling/row_number windows run over the
-    # calendar-bounded daily series (the ts_* bounded-window shape);
-    # SinglePartitions are the 1-row moment/quantizer reduces
     "ts_von_neumann_ratio",
     "ts_difference_sign",
     "ts_foster_stuart_records",
     "ts_diebold_mariano",
     "ts_tracking_signal",
     "ts_pinball_loss",
-    # cumsum window over the calendar-bounded daily axis;
-    # SinglePartition is the 1-row bounds/max-gap reduce
-    "orders_ks_uniform_dates",
-    # row_number window over the calendar-bounded daily axis (the
-    # ts_* bounded-window shape); SinglePartitions are the 1-row
-    # percentile/moment reduces
     "ts_qn_scale",
-    # block-ranked rank windows partition by block (api core); the
-    # SinglePartitions are the 1-row runs/total reduces
-    "orders_runs_ww",
-    # lag window partitions by USER; the ≤5-node BFS tables reduce to
-    # 1-row scalars (hmax) — that reduce is the SinglePartition
-    "graph_harmonic_centrality",
-    # block-ranked rank windows partition by block (api core); the
-    # SinglePartition is the 1-row Σry reduce
-    "agg_concentration_index",
-    # block-ranked rank windows partition by block (api core); the
-    # SinglePartitions are the 1-row count/cutoff/clamp reduces
-    "agg_winsorized_mean",
-    # lag windows run over the calendar-bounded daily series (the
-    # ts_* bounded-window shape); SinglePartition is the 1-row
-    # moment reduce
     "ts_granger_1lag",
-    # same bounded-axis lag window + 1-row moment reduce as
-    # ts_granger_1lag
     "ts_dickey_fuller",
-    # same bounded-axis lag/count windows + 1-row moment reduce as
-    # ts_granger_1lag
     "ts_arch_lm",
-    # same bounded-axis lag/count windows + 1-row moment reduce as
-    # ts_dickey_fuller
     "ts_durbin_watson",
-    # same bounded-axis lead/count windows + 1-row moment reduce as
-    # ts_dickey_fuller
     "ts_yule_walker_pacf",
-    # same bounded-axis row_number/count windows + 1-row moment
-    # reduce as ts_dickey_fuller
     "ts_breusch_pagan",
-    # combined rank window over the bounded per-priority daily
-    # series (the agg_brunner_munzel shape); SinglePartition is the
-    # 1-row score-moment reduce
-    "agg_lepage",
-    # rank window over the bounded per-priority daily series (the
-    # agg_lepage shape); SinglePartition is the 1-row score-moment
-    # reduce
-    "agg_cucconi_test",
-    # rank + cumulative-count windows over the same bounded daily
-    # series; SinglePartition is the 1-row quantized-term reduce
-    "agg_ad_2sample",
-    # block-ranked cumsum windows partition by block (api core);
-    # SinglePartition is the 1-row pair-total broadcast
-    "agg_hl_shift_2sample",
-    # bounded-axis count/sum windows over the daily series (the
-    # ts_dickey_fuller shape); SinglePartition is the 1-row 7-bucket
-    # reduce
     "ts_schuster_weekly",
-    # stratified block-ranked tercile windows partition by
-    # (half, block) (api core, the agg_brown_forsythe shape);
-    # SinglePartition is the 1-row 9-cell pivot
-    "customers_stuart_maxwell",
-    # same stratified block-ranked tercile frame as
-    # customers_stuart_maxwell
-    "customers_kappa_weighted",
-    # row_number over the two 3-row TakeOrdered extreme ladders;
-    # SinglePartitions are the 1-row moment/ladder reduces
-    "ts_generalized_esd",
-    # zigzag-score rank window over the bounded per-priority daily
-    # series (the agg_lepage shape)
-    "agg_siegel_tukey",
-    # per-rater rank windows over the calendar-bounded weekly grid;
-    # SinglePartitions are the 1-row A/T² reduces
-    "agg_fleiss_kappa",
-    # the lag window partitions by user over the raw events (the
-    # graph_pagerank edge fixture); SinglePartition is the 1-row
-    # reciprocity reduce
-    "graph_reciprocity",
-    # per-half rank windows over the two calendar halves;
-    # SinglePartition is the 1-row trace reduce
-    "customers_shorrocks_mobility",
-    # stratified block-ranked rank windows partition by (stratum,
-    # block) (api core); SinglePartition is the 1-row ANOVA pivot
-    "agg_brown_forsythe",
-    # the dyadic-index rank window runs over the calendar-bounded
-    # daily series (the ts_* bounded-window shape); SinglePartition
-    # covers the 1-row total-energy reduce
     "ts_haar_energy",
-    # prefix/lag/count windows run over the calendar-bounded daily
-    # series (one row per date — the ts_* bounded-window shape)
     "ts_kpss",
-    # prefix/count windows run over the ≤hundreds-of-months series
-    # (the ts_* bounded-window shape)
-    "ts_buishand_range",
-    # prefix/count windows run over the calendar-bounded daily
-    # series (the ts_* bounded-window shape)
     "ts_cusum_squares",
-    # combined/within rank windows over the bounded per-priority
-    # daily series (the agg_brunner_munzel shape)
-    "agg_bws_test",
-    # the per-season tie-count window runs over the ≤12·years
-    # (season × distinct-value) frame; SinglePartitions are the 1-row
-    # S/Var reduces
-    "ts_seasonal_mann_kendall",
-    # index/count windows run over the calendar-bounded daily series
-    # (one row per date — the ts_* bounded-window shape)
     "ts_cox_stuart",
-    # lag/lead/count windows run over the calendar-bounded daily
-    # series (one row per date — the ts_* bounded-window shape)
     "ts_turning_points",
-    # rank/Holm-chain windows run over the 10-row pair grid
-    # (domain-bounded — the events_holm_correction argument); the
-    # block-ranked midrank windows partition by block; SinglePartitions
-    # are the 1-row N/T reduces
-    "agg_dunn_posthoc",
-    # the rank window partitions by DAY over the (day × 5) grid
-    # aggregate (calendar-bounded); SinglePartitions are the 1-row
-    # moment reduces
-    "agg_friedman",
-    # the block-ranked rank windows partition by block; the
-    # SinglePartitions are the 1-row count/median/pivot reduces
-    "agg_mood_median",
-    # the prefix windows run over the 50-row literal quantity grid
-    # (domain-bounded); SinglePartition covers the 1-row dominance
-    # reduce
-    "agg_cliffs_delta",
-    # the SinglePartition is the 1-ROW final regression aggregate
-    # (regr_slope over the vocabulary); the rank window itself
-    # partitions by block (api.exact_global_rank)
-    "llm_zipf_fit",
-    # the CUSUM running sum runs over the calendar-bounded day
-    # aggregate (same bounded-axis argument as orders_open_backlog);
-    # the SinglePartition also covers the 1-row mean/σ and peak
-    # aggregates
-    "ts_cusum_changepoint",
-    # the SinglePartition is the 1-ROW final U/z reduce; the rank
-    # windows partition by block (api.exact_global_rank)
-    "agg_mann_whitney",
-    # the SinglePartition is the 1-ROW T reduce; rank windows
-    # partition by block, index windows by the two sample groups
-    "agg_cvm_test",
-    # the SinglePartition is the 1-ROW AUC reduce; the rank windows
-    # partition by block (api.exact_global_rank)
-    "llm_auc_roc",
-    # the cumulative window runs over the 10-row decile table; rank
-    # windows partition by block (api.exact_global_rank over the
-    # negated score); SinglePartition covers the 1-row total reduce
+    # prefix/count windows over the <=hundreds-of-months series
+    "ts_buishand_range",
+    # combined/zigzag/placement rank windows over the bounded
+    # per-priority daily series (the agg_brunner_munzel shape)
+    "agg_brunner_munzel",
+    "agg_fligner_policello",
+    "agg_lepage",
+    "agg_cucconi_test",
+    "agg_ad_2sample",
+    "agg_bws_test",
+    "agg_siegel_tukey",
+    # cumulative window over the FIXED 10-row decile/gains tables
+    "agg_cumulative_gains",
     "llm_classifier_gains",
-    # the cumulative window runs over the file-list-sized source
-    # table (domain-bounded; block-ranked cumsum is the documented
-    # swap at scale)
-    "delivery_compaction_plan",
-    # the SinglePartitions are the 1-row totals/max reduces; the CDF
-    # cumsum windows partition by block (api.exact_global_keyed_cumsum)
-    "agg_ks_test",
-    # the SinglePartition is the 1-ROW Gini reduce; the rank windows
-    # partition by block (api.exact_global_rank)
-    "agg_gini",
-    # the SinglePartitions are the 1-row total/quantile/fence
-    # reduces; the CDF cumsum windows partition by block
-    # (api.exact_global_keyed_cumsum)
-    "dq_outlier_iqr",
-    # the SinglePartition is the 1-ROW moment reduce; both rank
-    # passes partition by block (api.exact_global_rank)
-    "agg_spearman",
-    # the SinglePartition is the 1-row bigram-type count; the top-3
-    # window partitions by context (w1)
-    "llm_kneser_ney",
-    # the SinglePartitions are the 1-row (N, avgdl) stats; both
-    # ranking windows partition by query term
-    "llm_retrieval_metrics",
-    # the SinglePartition is the 1-row revenue total; the Pareto
-    # cumsum windows partition by block (api.exact_global_cumsum_desc)
-    "orders_abc_xyz",
-    # the SinglePartitions are the 1-row cut/bounds/mean reduces;
-    # the rank windows partition by block (api.exact_global_rank)
-    "agg_trimmed_mean",
-    # the SinglePartitions are the 1-row pivot/tie reduces; the rank
-    # window partitions by block (api.exact_global_rank)
-    "agg_kruskal_wallis",
-    # the SinglePartition is the 1-row regression reduce; both
-    # cumsum windows partition by block (api.exact_global_keyed_cumsum)
-    "llm_heaps_law",
-    # the SinglePartition is the 1-row transition-total reduce; the
-    # lag window partitions by user_id
-    "events_entropy_rate",
-    # the Holm rank/prefix-AND windows run over the m = |event_type|
-    # row table (domain-bounded at any corpus scale)
-    "events_holm_correction",
-    # recall summary composes llm_sim_ivf/llm_sim_bruteforce, whose
-    # top-k windows partition by probe_id; the SinglePartition is the
-    # 1-row final recall reduce
-    "llm_sim_ivf_recall",
-    # the BH rank/suffix-OR windows run over the m = |event_type|
-    # row table (domain-bounded — same argument as Holm's)
-    "events_bh_fdr",
-    # the cumulative window runs over the 10-row decile table
-    # (domain-bounded); the fact table sees only the block-ranked core
     "agg_lorenz_curve",
-    # margin/total windows run over the ≤15-row (priority × status)
-    # contingency table (domain-bounded — same argument as Holm's)
+    # row_number over the two 3-row TakeOrdered extreme ladders
+    "ts_generalized_esd",
+    # Holm/BH rank + prefix windows over the m = |event_type| table
+    # (domain-bounded at any corpus scale)
+    "events_holm_correction",
+    "events_bh_fdr",
+    # rank/Holm-chain windows over the 10-row pair grid
+    "agg_dunn_posthoc",
+    # prefix windows over the 50-row literal quantity grid
+    "agg_cliffs_delta",
+    # margin/total windows over the <=15-row contingency table
     "agg_cramers_v",
-    # the cumulative window runs over the ≤256-row bucket table
-    # (domain-bounded); the fact table sees only map-side binning
+    # cumulative window over the <=256-row bucket table
     "agg_quantile_sketch",
-    # the rank window partitions by source; the SinglePartition is
-    # the 1-row corpus-total reduce feeding the prior terms
-    "llm_fightin_words",
+    # cumulative window over the file-list-sized source table
+    # (domain-bounded; block-ranked cumsum is the documented swap at
+    # scale)
+    "delivery_compaction_plan",
 }
 
 _plan_cache: dict[str, str] = {}
@@ -961,14 +716,54 @@ def _low_card_raw_windows(jplan) -> list[str]:
     return offenders
 
 
+_global_window_cache: dict[str, list[str]] = {}
+
+
+def _global_windows(jplan) -> list[str]:
+    """Window nodes in an optimized LOGICAL plan whose partition spec
+    is EMPTY or all-literal (a constant key folds to one partition):
+    the whole input frame flows through ONE task — the exact shape
+    `Window.orderBy(...)` plans as Exchange SinglePartition + Window.
+    This is the tree-precise replacement (round 12) for the old
+    string sweep, which flagged any plan containing both a Window and
+    a SinglePartition ANYWHERE — conflating a block-partitioned
+    window beside an unrelated 1-row scalar reduce (a fine plan) with
+    a genuinely global window, and forcing ~40 spurious allowlist
+    entries. Windows inside subquery expressions are not walked
+    (children() traversal only) — the same documented limitation as
+    `_low_card_raw_windows`."""
+    offenders: list[str] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Window":
+            ps = node.partitionSpec()
+            real = sum(
+                1
+                for i in range(ps.size())
+                if ps.apply(i).getClass().getSimpleName() != "Literal"
+            )
+            if real == 0:
+                offenders.append(
+                    "global window: "
+                    + node.windowExpressions().toString()[:100]
+                )
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(jplan)
+    return offenders
+
+
 def _registry_plans(spark, sf_dir):
     """name → formatted plan for every batch query, built once per
     session: the registry fns execute real work at call time (KMeans
     fits, candidate-stage actions, sink writes), so the plan-shape
     sweeps below must not each pay that cost. The same pass also
-    harvests the low-cardinality-window offenders from the optimized
-    LOGICAL plan (the partition-spec + subtree walk needs catalyst
-    nodes, not the formatted string)."""
+    harvests the low-cardinality-window and global-window offenders
+    from the optimized LOGICAL plan (the partition-spec + subtree
+    walk needs catalyst nodes, not the formatted string)."""
     if not _plan_cache:
         from hadoop_deliver_spark.registry import load_all
 
@@ -980,14 +775,17 @@ def _registry_plans(spark, sf_dir):
         # a mid-sweep exception must not leave a partial cache that the
         # second guard test would silently accept as the full registry
         lowcard = {}
+        gwin = {}
         for name in sorted(R):
             if name.startswith(("stream_", "source_stream", "sink_stream")):
                 continue  # streaming: result plan is the memory-sink scan
             qe = R[name].fn(spark, sf_dir)._jdf.queryExecution()
             lowcard[name] = _low_card_raw_windows(qe.optimizedPlan())
+            gwin[name] = _global_windows(qe.optimizedPlan())
             built[name] = qe.explainString(mode)
         _plan_cache.update(built)
         _lowcard_cache.update(lowcard)
+        _global_window_cache.update(gwin)
     return _plan_cache
 
 
@@ -1163,23 +961,35 @@ def test_shingles_short_docs_match_duckdb(spark, duck, sf_dir):
 
 
 def test_no_single_partition_windows(spark, sf_dir):
-    """Registry-wide scale guard #2: no registered batch query may plan
-    a Window alongside a SinglePartition exchange outside the
-    documented allowlist — an unpartitioned `Window.orderBy(...)`
-    serializes the whole dataset through one task (the exact bottleneck
-    removed from llm_dedup_ngram_jaccard's gram-id assignment).
-    Detection note: formatted explain prints the node name and its
-    `Arguments: SinglePartition` on SEPARATE lines, so the two strings
-    are matched independently — a contiguous "Exchange SinglePartition"
-    substring check never fires and would make this test vacuous (it
-    did, in its first version)."""
-    offenders = [
-        name
-        for name, plan in _registry_plans(spark, sf_dir).items()
-        if name not in _SINGLE_PARTITION_WINDOW_OK
-        and ("SinglePartition" in plan and "Window" in plan)
-    ]
-    assert not offenders, f"single-partition window leaked into: {offenders}"
+    """Registry-wide scale guard #2: no registered batch query may
+    plan a GLOBAL window (empty / all-literal partition spec — the
+    shape `Window.orderBy(...)` that serializes the whole frame
+    through one task, the exact bottleneck removed from
+    llm_dedup_ngram_jaccard's gram-id assignment) outside the
+    documented allowlist. Round-12 precision upgrade: the old sweep
+    string-matched "Window" + "SinglePartition" anywhere in the
+    formatted plan, conflating a block-partitioned window beside an
+    unrelated 1-row scalar reduce (a fine plan — nearly every stats
+    query ends in one) with a genuinely global window; the guard now
+    walks the optimized logical tree (`_global_windows`) and flags
+    only windows whose partition spec is empty, which halved the
+    allowlist to entries that each cite a bounded-axis argument. The
+    companion stale-entry assertion keeps the list honest: an entry
+    whose query no longer plans a global window must be deleted."""
+    _registry_plans(spark, sf_dir)  # populate caches
+    offenders = {
+        name: offs
+        for name, offs in _global_window_cache.items()
+        if offs and name not in _SINGLE_PARTITION_WINDOW_OK
+    }
+    assert not offenders, f"global window leaked into: {offenders}"
+    stale = _SINGLE_PARTITION_WINDOW_OK - {
+        name for name, offs in _global_window_cache.items() if offs
+    }
+    assert not stale, (
+        f"allowlist entries whose query no longer plans a global "
+        f"window — delete them: {sorted(stale)}"
+    )
 
 
 def test_no_low_cardinality_raw_windows(spark, sf_dir):
