@@ -262,7 +262,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks on both sides bound the join state (without them the
     engine would buffer both streams forever — the 100 TB failure
     mode). Inner-join output is emission-time-independent, so the
-    pair set hash-matches the batch join."""
+    pair set hash-matches the batch join.
+
+    State-size formula (what the watermark buys): each side buffers
+    rows until the OTHER side's watermark passes the end of the join
+    range, so steady-state rows ≈ rate_clicks·(wm + range) +
+    rate_purchases·wm — here (10 min + 1 h) of clicks plus 10 min of
+    purchases, ~70 min of stream at any throughput, NOT the full
+    history. At 100 TB-scale rates that state belongs off-heap:
+    tests/test_properties.py runs this exact query under the RocksDB
+    provider and asserts identical output + engaged rocksdb*
+    metrics (the stream_session_rocksdb pattern)."""
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -747,7 +757,15 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of the result with the fixture's time span (caught by the
     sf0.1 full-sim). Inner-join + closed-window output is
     emission-time-independent, so the result hash-matches the batch
-    twin."""
+    twin.
+
+    State-size formula: join state ≈ rate_clicks·(wm + 30 min) +
+    rate_purchases·wm (rows buffered until the other side's
+    watermark clears the range), window state ≈ |distinct open
+    windows| = ⌈(wm + 30 min + 1 h)/1 h⌉ rows — both
+    watermark-bounded, neither scales with history length. The
+    RocksDB-provider variant of this exact query is asserted
+    equal-output + metrics-engaged in tests/test_properties.py."""
     from hadoop_deliver_spark.tables import tbl
 
     mx = tbl(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]

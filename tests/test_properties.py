@@ -1379,6 +1379,97 @@ def test_rocksdb_session_variant_matches_and_flip_is_real(spark, sf_dir):
         shutil.rmtree(cp, ignore_errors=True)
 
 
+def test_rocksdb_state_heavy_variants(spark, sf_dir):
+    """The two state-heaviest streaming queries (stream_stream_join:
+    dual-sided join state; stream_chained_stateful: join state + a
+    windowed aggregate chained in one pipeline) must produce
+    IDENTICAL output under the RocksDB state-store provider — the
+    documented 100 TB flip that moves their watermark-bounded state
+    (see each docstring's state-size formula) off the JVM heap
+    (round-11 verdict ask; the stream_session_rocksdb pattern). Then
+    a probe stream with the SAME chained shape (stream-stream join →
+    windowed count) runs under the provider and must show rocksdb*
+    custom metrics in EVERY state operator's progress — proving the
+    conf engages for both the join and the aggregate state store,
+    not silently ignored."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_deliver_spark.operators.streaming import _ROCKSDB_PROVIDER
+    from hadoop_deliver_spark.registry import load_all
+
+    R = load_all()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    for name in ("stream_stream_join", "stream_chained_stateful"):
+        base = R[name].fn(spark, sf_dir).collect()
+        saved = spark.conf.get(key)
+        spark.conf.set(key, _ROCKSDB_PROVIDER)
+        try:
+            rocks = R[name].fn(spark, sf_dir).collect()
+        finally:
+            spark.conf.set(key, saved)
+        assert rocks == base, f"{name}: RocksDB variant diverged"
+
+    # probe: chained join→window stream under the provider; every
+    # state operator must report rocksdb custom metrics
+    src = "/tmp/hds_rocksdb_chain_src"
+    cp = "/tmp/hds_rocksdb_chain_cp"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    spark.createDataFrame(
+        [
+            (i % 5, f"2024-01-01 00:{i:02d}:00", "click" if i % 2 else "buy")
+            for i in range(40)
+        ],
+        "k int, t string, et string",
+    ).select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "et"
+    ).write.parquet(src)
+    saved = spark.conf.get(key)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        ev = spark.readStream.schema(
+            "k int, ts timestamp, et string"
+        ).parquet(src)
+        a = (
+            ev.filter(F.col("et") == "click")
+            .select(F.col("k").alias("ak"), F.col("ts").alias("ats"))
+            .withWatermark("ats", "1 minute")
+        )
+        b = (
+            ev.filter(F.col("et") == "buy")
+            .select(F.col("k").alias("bk"), F.col("ts").alias("bts"))
+            .withWatermark("bts", "1 minute")
+        )
+        joined = a.join(
+            b,
+            (F.col("ak") == F.col("bk"))
+            & (F.col("bts") >= F.col("ats"))
+            & (F.col("bts") <= F.col("ats") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        agg = joined.groupBy(F.window("bts", "10 minutes")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("hds_rocksdb_chain")
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ops = (q.lastProgress or {}).get("stateOperators", [])
+        assert len(ops) >= 2, f"expected join + agg state operators: {ops}"
+        for op in ops:
+            assert "rocksdbGetCount" in (op.get("customMetrics") or {}), op
+    finally:
+        spark.conf.set(key, saved)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
 def test_multimodal_stub_is_unconditional(spark, duck, sf_dir, monkeypatch):
     """The three multimodal operators (llm_multimodal_decode /
     _resize / _framesample) must behave identically whether or not
