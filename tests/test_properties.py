@@ -577,6 +577,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "ts_turning_points",
     # prefix/count windows over the <=hundreds-of-months series
     "ts_buishand_range",
+    # lag window over the calendar-bounded daily series (the ts_*
+    # bounded-window shape) — the I-MR moving range
+    "events_imr_chart",
     # combined/zigzag/placement rank windows over the bounded
     # per-priority daily series (the agg_brunner_munzel shape)
     "agg_brunner_munzel",
