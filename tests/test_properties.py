@@ -580,6 +580,11 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # lag window over the calendar-bounded daily series (the ts_*
     # bounded-window shape) — the I-MR moving range
     "events_imr_chart",
+    # lag + prefix/running-min windows over the calendar-bounded
+    # daily series (the ts_* bounded-window shape) — the EWMA closed
+    # form and the CUSUM reflection identity
+    "events_ewma_chart",
+    "events_cusum_tabular",
     # combined/zigzag/placement rank windows over the bounded
     # per-priority daily series (the agg_brunner_munzel shape)
     "agg_brunner_munzel",
