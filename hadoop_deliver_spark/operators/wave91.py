@@ -142,7 +142,16 @@ def ts_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_days = daily.count()
     h = n_days // 2 + 1
     k = h * (h - 1) // 2
-    byd = pairs.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # localCheckpoint: the block-ranked core evaluates its input
+    # three times (split probe, block sizes, final pass) — without
+    # the checkpoint each pass would recompute the O(days²) pairwise
+    # self-join; the (d, count) table it pins is far smaller than the
+    # pair table (distinct differences only).
+    byd = (
+        pairs.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     cdf = exact_global_keyed_cumsum(byd, "d", "c", "d", "cum")
     sel = (
         cdf.filter(F.col("cum") >= k)
