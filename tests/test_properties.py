@@ -585,6 +585,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # form and the CUSUM reflection identity
     "events_ewma_chart",
     "events_cusum_tabular",
+    # islands row_number over the missing-days subset of the
+    # calendar-bounded day axis
+    "delivery_backfill_planner",
     # combined/zigzag/placement rank windows over the bounded
     # per-priority daily series (the agg_brunner_munzel shape)
     "agg_brunner_munzel",
