@@ -261,6 +261,18 @@ def test_plan_shapes(spark, sf_dir):
 _NESTED_LOOP_OK = {
     "join_cross",          # cross join by spec
     "join_theta_range",    # non-equi theta join by spec
+    # round-12 wave 97-99 scalar attachments — each a 1-row broadcast
+    # cross join per the established scalar device:
+    # 1-row total-count frame onto the 1-row sample-count frame
+    "sample_rows_tolerance",
+    # 1-row pooled-totals frame onto the calendar-bounded day axis
+    "events_p_chart",
+    "events_imr_chart",
+    "events_ewma_chart",
+    "events_cusum_tabular",
+    # 1-row (n_c, h) trim-boundary frame onto the control ranks;
+    # 1-row experimental-count frame onto the 1-row span pivot
+    "agg_moses_extreme",
     # TRUE pairwise cross join of two CALENDAR-BOUNDED daily series
     # (≤2.4k × ≤2.4k at ANY corpus scale); plus the 1-row total
     # broadcast
@@ -562,7 +574,6 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "ts_diebold_mariano",
     "ts_tracking_signal",
     "ts_pinball_loss",
-    "ts_qn_scale",
     "ts_granger_1lag",
     "ts_dickey_fuller",
     "ts_arch_lm",
