@@ -273,6 +273,8 @@ _NESTED_LOOP_OK = {
     # 1-row (n_c, h) trim-boundary frame onto the control ranks;
     # 1-row experimental-count frame onto the 1-row span pivot
     "agg_moses_extreme",
+    # 1-row base-moment frame onto the 20-row replicate moments
+    "agg_poisson_bootstrap_se",
     # TRUE pairwise cross join of two CALENDAR-BOUNDED daily series
     # (≤2.4k × ≤2.4k at ANY corpus scale); plus the 1-row total
     # broadcast
@@ -612,6 +614,7 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "agg_cumulative_gains",
     "llm_classifier_gains",
     "agg_lorenz_curve",
+    "events_qini_uplift",
     # row_number over the two 3-row TakeOrdered extreme ladders
     "ts_generalized_esd",
     # Holm/BH rank + prefix windows over the m = |event_type| table
