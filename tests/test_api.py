@@ -597,3 +597,40 @@ def test_spearman_matches_pandas(spark, sf_dir):
     )
     assert got["n"] == len(cust)
     assert abs(got["rho"] - rho) < 1e-3
+
+
+def test_gram_cache_rekeys_on_file_rewrite(spark, tmp_path):
+    """Round-11 advice regression: the gram-stage memo must NOT serve
+    stale results when the SAME parquet path is rewritten with new
+    contents inside one application. The cache key folds in the
+    source-file listing (parquet rewrites produce fresh UUID part
+    names), so the second read re-keys automatically — no manual
+    clear_stage_caches() needed for the rewrite path."""
+    from hadoop_deliver_spark import api
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta shared tail piece"),
+         (2, "alpha beta gamma delta shared tail piece x")],
+        "id long, body string",
+    ).write.mode("overwrite").parquet(p)
+    first = api.jaccard_pairs(
+        spark.read.parquet(p), "id", "body", threshold=0.5
+    ).collect()
+    assert len(first) == 1  # the two near-identical docs pair up
+
+    # rewrite the same path with DISSIMILAR texts — a stale cache
+    # would still report the old pair
+    spark.createDataFrame(
+        [(1, "completely different words here now okay"),
+         (2, "zzz yyy xxx www vvv uuu ttt sss rrr")],
+        "id long, body string",
+    ).write.mode("overwrite").parquet(p)
+    second = api.jaccard_pairs(
+        spark.read.parquet(p), "id", "body", threshold=0.5
+    ).collect()
+    assert second == []  # fresh grams, no stale pair
+
+    # the explicit invalidation helper runs clean and empties the memo
+    api.clear_stage_caches()
+    assert not api._GRAM_STAGE_CACHE
