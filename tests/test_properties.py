@@ -275,6 +275,10 @@ _NESTED_LOOP_OK = {
     "agg_moses_extreme",
     # 1-row base-moment frame onto the 20-row replicate moments
     "agg_poisson_bootstrap_se",
+    # 1-row raw-SS frame onto the 1-row group moments; 1-row
+    # step/total frame onto the cumulative-cents line
+    "agg_icc_oneway",
+    "agg_pps_systematic",
     # TRUE pairwise cross join of two CALENDAR-BOUNDED daily series
     # (≤2.4k × ≤2.4k at ANY corpus scale); plus the 1-row total
     # broadcast
