@@ -279,6 +279,8 @@ _NESTED_LOOP_OK = {
     # step/total frame onto the cumulative-cents line
     "agg_icc_oneway",
     "agg_pps_systematic",
+    # 1-row beta-prior frame onto the per-user rates
+    "customers_eb_shrinkage",
     # TRUE pairwise cross join of two CALENDAR-BOUNDED daily series
     # (≤2.4k × ≤2.4k at ANY corpus scale); plus the 1-row total
     # broadcast
