@@ -275,6 +275,10 @@ _NESTED_LOOP_OK = {
     "agg_moses_extreme",
     # 1-row base-moment frame onto the 20-row replicate moments
     "agg_poisson_bootstrap_se",
+    # 1-row tolerance/moment frames onto the bounded template-pair
+    # stage; 1-row integer-argmax frame onto the 5-state vector
+    "ts_sample_entropy",
+    "events_markov_stationary",
     # 1-row raw-SS frame onto the 1-row group moments; 1-row
     # step/total frame onto the cumulative-cents line
     "agg_icc_oneway",
