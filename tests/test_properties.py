@@ -627,10 +627,11 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "events_qini_uplift",
     # row_number over the two 3-row TakeOrdered extreme ladders
     "ts_generalized_esd",
-    # Holm/BH rank + prefix windows over the m = |event_type| table
-    # (domain-bounded at any corpus scale)
+    # Holm/BH/BY rank + prefix/suffix windows over the
+    # m = |event_type| table (domain-bounded at any corpus scale)
     "events_holm_correction",
     "events_bh_fdr",
+    "events_by_fdr",
     # rank/Holm-chain windows over the 10-row pair grid
     "agg_dunn_posthoc",
     # prefix windows over the 50-row literal quantity grid
