@@ -279,6 +279,10 @@ _NESTED_LOOP_OK = {
     # stage; 1-row integer-argmax frame onto the 5-state vector
     "ts_sample_entropy",
     "events_markov_stationary",
+    # 1-row n/threshold frames onto bounded grids (Weibull plotting
+    # positions; GPD exceedances + final 1-row assembly)
+    "orders_weibull_gaps",
+    "orders_pot_gpd",
     # 1-row raw-SS frame onto the 1-row group moments; 1-row
     # step/total frame onto the cumulative-cents line
     "agg_icc_oneway",
