@@ -283,6 +283,8 @@ _NESTED_LOOP_OK = {
     # positions; GPD exceedances + final 1-row assembly)
     "orders_weibull_gaps",
     "orders_pot_gpd",
+    # 1-row variance-component frame onto the 5-segment rows
+    "customers_buhlmann_credibility",
     # 1-row raw-SS frame onto the 1-row group moments; 1-row
     # step/total frame onto the cumulative-cents line
     "agg_icc_oneway",
