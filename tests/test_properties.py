@@ -287,6 +287,8 @@ _NESTED_LOOP_OK = {
     "customers_buhlmann_credibility",
     # 1-row n + two 1-row rank-probe frames onto the bounded grid
     "events_time_to_convert",
+    # 1-row portfolio-total frame onto the <=125-cell grid
+    "agg_direct_standardization",
     # 1-row raw-SS frame onto the 1-row group moments; 1-row
     # step/total frame onto the cumulative-cents line
     "agg_icc_oneway",
