@@ -711,6 +711,11 @@ _LOW_CARD_WINDOW_OK: set[str] = {
     # by a dozen stats queries) and win_topk_per_group_salted.
     "win_rank_dense",
     "win_ntile_pctile",
+    # §2-ext surface demo of the QUALIFY clause itself (the
+    # win_rank_dense precedent): the keyed top-3-per-segment window
+    # IS the demonstrated desugaring; the scale-safe spelling of the
+    # same math is win_topk_per_group_salted.
+    "sql_qualify",
 }
 
 
