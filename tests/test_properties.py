@@ -289,6 +289,9 @@ _NESTED_LOOP_OK = {
     "events_time_to_convert",
     # 1-row portfolio-total frame onto the <=125-cell grid
     "agg_direct_standardization",
+    # 1-row n + two 1-row rank-probe frames onto the cents grid
+    "agg_quartile_dispersion",
+    "agg_decile_ratio",
     # 1-row raw-SS frame onto the 1-row group moments; 1-row
     # step/total frame onto the cumulative-cents line
     "agg_icc_oneway",
