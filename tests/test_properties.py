@@ -558,6 +558,48 @@ _NESTED_LOOP_OK = {
     "ts_ljung_box",
     # 1-row split-totals broadcast over the term-pivot table
     "llm_split_divergence",
+    # round-12 waves 113-126 scalar attachments — each a 1-row (or
+    # documented bounded) broadcast cross join per the established
+    # scalar device:
+    # 1-row τ² frame broadcast back onto the 25 study rows
+    "agg_meta_random_effect",
+    # 1-row median + 1-row MAD rank probes onto the cents scan
+    "agg_huber_one_step",
+    "agg_biweight_midvariance",
+    # 1-row (n1, n2, s1, s2) totals onto the merged grid / rank steps
+    "agg_wasserstein_1d",
+    "agg_energy_distance",
+    # 1-row (n, h) Silverman params onto the kernel-sum scan
+    "agg_kde_points",
+    # two 1-row median probes + 1-row pair count onto ≤8 cell rows
+    "ts_transfer_entropy",
+    # four 1-row extreme probes (max/2nd-max/min/2nd-min) assembled
+    "agg_dixon_q",
+    # 1-row (n, T) totals onto the descending cumsum + 5 rank probes
+    "customers_whale_curve",
+    # 1-row (n, T) totals onto the block-ranked rank/cumsum line
+    "agg_bonferroni_index",
+    "agg_zenga_index",
+    # 1-row log-moment params + 1-row exact-rank P90 probe
+    "agg_lognormal_fit",
+    # 1-row (m, T) totals onto the profile; 3-row F(s) assembly
+    "ts_dfa",
+    # 1-row context/bigram/entropy frames assembled into one row
+    "llm_bigram_cond_entropy",
+    # 1-row rank-k + 1-row q̂ + 1-row coverage frames assembled
+    "agg_conformal_interval",
+    # two 1-row side-moment frames joined (left side × right side)
+    "events_rdd",
+    # 1-row IMR limits onto the gap scan + 1-row assembly
+    "events_t_chart",
+    # 1-row MLE (n_tail, α) frame onto the activity grid + assembly
+    "events_powerlaw_mle",
+    # 1-row grand-mean frame onto the ≤25·months panel cells
+    "orders_twoway_fe",
+    # 1-row (μ, σ²) frame onto the mean-excess scan + assembly
+    "agg_gamma_fit_mom",
+    # 1-row corpus-end frame onto the per-user censoring projection
+    "events_exp_survival_mle",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
