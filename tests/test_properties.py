@@ -600,6 +600,10 @@ _NESTED_LOOP_OK = {
     "agg_gamma_fit_mom",
     # 1-row corpus-end frame onto the per-user censoring projection
     "events_exp_survival_mle",
+    # 1-row n frame onto the rank/CDF scans + 1-row num/den assembly
+    "agg_chatterjee_xi",
+    # 1-row converting-user total onto the per-channel credit table
+    "events_attribution_shapley",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
