@@ -604,6 +604,15 @@ _NESTED_LOOP_OK = {
     "agg_chatterjee_xi",
     # 1-row converting-user total onto the per-channel credit table
     "events_attribution_shapley",
+    # 1-row n frame onto the 1-row PWM reduce
+    "agg_lmoments",
+    # 1-row t = −1 baseline probe onto the ≤15-row curve
+    "events_event_study",
+    # 1-row OLS-fit frame onto the residual scan + 1-row assembly
+    "ts_engle_granger",
+    # 7-row offset ladder onto the lag source (the ts_ljung_box
+    # lag-grid pattern) + 1-row moment assembly
+    "events_adstock_fit",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
