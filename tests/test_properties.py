@@ -613,6 +613,10 @@ _NESTED_LOOP_OK = {
     # 7-row offset ladder onto the lag source (the ts_ljung_box
     # lag-grid pattern) + 1-row moment assembly
     "events_adstock_fit",
+    # 1-row pooled frame onto the per-supplier group rows
+    "supplier_james_stein",
+    # 1-row grand-total frame onto the ≤k label rows
+    "llm_label_balance",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
