@@ -617,6 +617,14 @@ _NESTED_LOOP_OK = {
     "supplier_james_stein",
     # 1-row grand-total frame onto the ≤k label rows
     "llm_label_balance",
+    # 1-row integer-threshold frame onto the ranked scan + assembly
+    "agg_tail_dependence",
+    # 1-row gap-moment frame onto the 1-row pair-moment frame
+    "events_gap_memory",
+    # 1-row node-count frame onto the 1-row edge reduce
+    "graph_randic",
+    # 1-row n/max/probe frames assembled around the ≤100-row grid
+    "orders_price_points",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
