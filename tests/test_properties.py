@@ -625,6 +625,10 @@ _NESTED_LOOP_OK = {
     "graph_randic",
     # 1-row n/max/probe frames assembled around the ≤100-row grid
     "orders_price_points",
+    # 1-row group-totals frame onto the bounded bin grid
+    "agg_ovl_coefficient",
+    # 1-row group-totals frame onto the merged-grid CDF + assembly
+    "agg_kuiper_2sample",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
