@@ -629,6 +629,13 @@ _NESTED_LOOP_OK = {
     "agg_ovl_coefficient",
     # 1-row group-totals frame onto the merged-grid CDF + assembly
     "agg_kuiper_2sample",
+    # 9-row decile ladder onto the stratified CDF (ts_ljung_box
+    # lag-grid pattern)
+    "agg_qte_deciles",
+    # 1-row totals + three 1-row prefix probes + 1-row top-brand
+    "orders_cr_ratios",
+    # 4-row trim ladder + 1-row n frame onto the ranked scan
+    "agg_trim_sensitivity",
 }
 
 # Queries whose plans legitimately contain BOTH a SinglePartition
