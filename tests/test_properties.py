@@ -454,6 +454,12 @@ _NESTED_LOOP_OK = {
     # 1-row (n, total) broadcast for the cross-multiplied |n·x − T|
     # terms (the ts_resample_gapfill 1-row pattern)
     "agg_hoover_index",
+    # 1-row (n, Σv, Σv²) moment broadcast for the exact-integer
+    # Σ|n·v − Σv| second pass (the agg_hoover_index pattern)
+    "agg_geary_ratio",
+    # 1-row (n, total) broadcast for the top-decile degree cutoff
+    # (the agg_lorenz_curve pattern)
+    "graph_degree_gini",
     # 1-row digit-total broadcast next to the 9-row digit table (the
     # ts_resample_gapfill 1-row pattern)
     "events_benford_check",
