@@ -460,6 +460,10 @@ _NESTED_LOOP_OK = {
     # 1-row (n, total) broadcast for the top-decile degree cutoff
     # (the agg_lorenz_curve pattern)
     "graph_degree_gini",
+    # TRUE pairwise join of the calendar-bounded daily series
+    # (≤days²/2 pairs at ANY corpus scale) + 1-row ε/n broadcasts
+    # (the agg_hl_shift_2sample envelope)
+    "ts_rqa_recurrence",
     # 1-row digit-total broadcast next to the 9-row digit table (the
     # ts_resample_gapfill 1-row pattern)
     "events_benford_check",
