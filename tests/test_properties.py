@@ -464,6 +464,10 @@ _NESTED_LOOP_OK = {
     # (≤days²/2 pairs at ANY corpus scale) + 1-row ε/n broadcasts
     # (the agg_hl_shift_2sample envelope)
     "ts_rqa_recurrence",
+    # TRUE pairwise join of the calendar-bounded daily rank pairs
+    # for the bivariate dominance counts (the ts_rqa_recurrence
+    # envelope)
+    "ts_hoeffding_d",
     # 1-row digit-total broadcast next to the 9-row digit table (the
     # ts_resample_gapfill 1-row pattern)
     "events_benford_check",
