@@ -995,3 +995,115 @@ def test_winnowing_detection_guarantee(spark, left, right, shared):
     f1 = {r["f"] for r in fp if r["pk"] == 1}
     f2 = {r["f"] for r in fp if r["pk"] == 2}
     assert f1 & f2, (doc1, doc2, f1, f2)
+
+
+def _nelson_reference(counts):
+    """Independent numpy reference for events_nelson_rules' pinned
+    conventions (row-based windows over the day axis, side =
+    sign(n·c − T), zero diffs break rule-3 runs, None diffs break
+    rule-4 alternation)."""
+    import numpy as np
+
+    c = np.asarray(counts, dtype=np.int64)
+    n = len(c)
+    T = int(c.sum())
+    cbar = T / n
+    r1 = int((((c - cbar) ** 2) > 9 * cbar).sum())
+    side = np.sign(n * c - T)
+    r2 = sum(
+        1 for i in range(n) if i >= 8 and abs(side[i - 8 : i + 1].sum()) == 9
+    )
+    d = [None] + [int(np.sign(c[i] - c[i - 1])) for i in range(1, n)]
+    r3 = 0
+    for i in range(n):
+        wdw = [x for x in d[max(0, i - 4) : i + 1] if x is not None]
+        if len(wdw) == 5 and abs(sum(wdw)) == 5:
+            r3 += 1
+    a = [
+        1
+        if d[i] is not None and d[i - 1] is not None and d[i] * d[i - 1] == -1
+        else 0
+        for i in range(n)
+    ]
+    r4 = sum(1 for i in range(n) if i >= 12 and sum(a[i - 12 : i + 1]) == 13)
+    return r1, r2, r3, r4
+
+
+def _updown_reference(cents):
+    import numpy as np
+
+    x = np.asarray(cents, dtype=np.int64)
+    d = np.sign(np.diff(x))
+    d = d[d != 0]
+    if len(d) == 0:
+        return 1, 0
+    runs = 1 + int((np.diff(d) != 0).sum())
+    return len(d) + 1, runs
+
+
+def test_nelson_rules_and_updown_runs_on_crafted_series(spark, tmp_path):
+    """The fixtures are in-control (all four Nelson counters = 0 at
+    every sf), so the oracle never exercises the rule arithmetic.
+    This test crafts day series with KNOWN violations — a 3σ spike,
+    a 9-day high plateau, a 6-day monotone ramp, a 14-day
+    alternation — plus seeded random series, and checks the Spark
+    operator against an independent numpy reference of the same
+    pinned conventions."""
+    import random
+
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    reg = load_all()
+    crafted = [
+        # spike day (rule 1), plateau days 10-18 (rule 2 fires once
+        # at the 9th), ramp days 20-25 (rule 3), alternation 26-39
+        [10] * 5 + [200] + [10] * 4 + [30] * 9 + [10]
+        + [11, 12, 13, 14, 15, 16]
+        + [5, 40] * 7,
+    ]
+    rng = random.Random(42)
+    for _ in range(2):
+        crafted.append([rng.randint(0, 20) for _ in range(35)])
+    for counts in crafted:
+        vals = [
+            round(rng.uniform(-50, 50), 2) for _ in range(len(counts))
+        ]
+        rows = []
+        for day, (cnt, v) in enumerate(zip(counts, vals)):
+            base = pd.Timestamp("2024-03-01") + pd.Timedelta(days=day)
+            for j in range(cnt):
+                rows.append(
+                    (base + pd.Timedelta(seconds=j), "error", 0.0, j)
+                )
+            rows.append(
+                (base + pd.Timedelta(seconds=86000), "click", v, 10**6 + day)
+            )
+        pdf = pd.DataFrame(
+            rows, columns=["ts", "event_type", "value", "event_id"]
+        )
+        pdf["user_id"] = 1
+        d = tmp_path / f"case_{len(rows)}"
+        d.mkdir(exist_ok=True)
+        pdf.to_parquet(d / "events.parquet")
+        got = (
+            reg["events_nelson_rules"]
+            .fn(spark, str(d))
+            .collect()[0]
+            .asDict()
+        )
+        r1, r2, r3, r4 = _nelson_reference(counts)
+        assert got["rule1_beyond_3sigma"] == r1, (counts, got)
+        assert got["rule2_nine_same_side"] == r2, (counts, got)
+        assert got["rule3_six_trending"] == r3, (counts, got)
+        assert got["rule4_fourteen_alternating"] == r4, (counts, got)
+        # updown runs on the crafted per-day click values + zero-value
+        # error rows (errors contribute 0 cents, clicks set the level)
+        cents = [round(v * 100) for v in vals]
+        n_obs, n_runs = _updown_reference(cents)
+        got_u = (
+            reg["ts_updown_runs"].fn(spark, str(d)).collect()[0].asDict()
+        )
+        assert got_u["n_obs"] == n_obs, (cents, got_u)
+        assert got_u["n_runs"] == n_runs, (cents, got_u)

@@ -667,6 +667,11 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # ------------------------------------------------------------------
     # ~20-row per-source aggregate; single partition is the right plan
     "llm_mix_weights",
+    # lag + four rolling integer sums over the calendar-bounded daily
+    # error axis (≤2.4k rows at any corpus scale)
+    "events_nelson_rules",
+    # two lags over the calendar-bounded daily revenue axis
+    "ts_updown_runs",
     # KM/NA windows run over the per-lifetime-DAY aggregate
     # (cardinality = days of history at any corpus scale)
     "events_survival_km",
