@@ -468,6 +468,9 @@ _NESTED_LOOP_OK = {
     # for the bivariate dominance counts (the ts_rqa_recurrence
     # envelope)
     "ts_hoeffding_d",
+    # 1-row (n, T) broadcast for the order-free Lorenz-length terms
+    # (the agg_hoover_index pattern)
+    "agg_amato_index",
     # 1-row digit-total broadcast next to the 9-row digit table (the
     # ts_resample_gapfill 1-row pattern)
     "events_benford_check",
@@ -670,6 +673,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # lag + four rolling integer sums over the calendar-bounded daily
     # error axis (≤2.4k rows at any corpus scale)
     "events_nelson_rules",
+    # descending-revenue row_number over the ≤25-brand frame (brand
+    # cardinality fixed by the data model)
+    "agg_rosenbluth_index",
     # two lags over the calendar-bounded daily revenue axis
     "ts_updown_runs",
     # KM/NA windows run over the per-lifetime-DAY aggregate
