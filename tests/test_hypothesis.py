@@ -1107,3 +1107,34 @@ def test_nelson_rules_and_updown_runs_on_crafted_series(spark, tmp_path):
         )
         assert got_u["n_obs"] == n_obs, (cents, got_u)
         assert got_u["n_runs"] == n_runs, (cents, got_u)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_es_cofactor_expansion_matches_numpy_linalg(seed):
+    """agg_epps_singleton's W statistic rides on a GENERATED textual
+    cofactor polynomial (det4 + d'·adj·d). Verify the generator
+    against numpy.linalg on random well-conditioned symmetric 4×4
+    matrices: n·(d'adj d)/det must equal n·d'M⁻¹d."""
+    import numpy as np
+
+    from hadoop_deliver_spark.operators.wave155 import (
+        _DET_EXPR,
+        _OMEGA,
+        _QUAD_EXPR,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(4, 4))
+    m = a @ a.T + 0.5 * np.eye(4)  # SPD, well-conditioned
+    d = rng.normal(size=4)
+    env = {f"o{i}{j}": m[i][j] for i in range(4) for j in range(i, 4)}
+    env.update({f"d{i}": d[i] for i in range(4)})
+    det = eval(_DET_EXPR.replace(" ", ""), {}, env)
+    quad = eval(
+        _QUAD_EXPR.replace("+ (", "+(").replace("- (", "-("), {}, env
+    )
+    want_det = np.linalg.det(m)
+    want_quad = d @ (np.linalg.inv(m) * want_det) @ d
+    assert abs(det - want_det) <= 1e-9 * max(1.0, abs(want_det))
+    assert abs(quad - want_quad) <= 1e-9 * max(1.0, abs(want_quad))

@@ -468,9 +468,27 @@ _NESTED_LOOP_OK = {
     # for the bivariate dominance counts (the ts_rqa_recurrence
     # envelope)
     "ts_hoeffding_d",
+    # TRUE pairwise joins of the calendar-bounded daily series for
+    # the medcouple kernel / nested-median distances (the
+    # ts_qn_scale envelope) + 1-row quantile/fence broadcasts
+    "ts_medcouple",
+    "ts_sn_scale",
     # 1-row (n, T) broadcast for the order-free Lorenz-length terms
     # (the agg_hoover_index pattern)
     "agg_amato_index",
+    # 1-row pooled-count and 1-row (t1, t2) frequency broadcasts onto
+    # the ranked/raw scans (the agg_quartile_dispersion pattern)
+    "agg_epps_singleton",
+    # 1-row moment broadcast onto the bounded daily axis + 1-row
+    # max-T broadcast for the argmax day (the ts_buishand_range
+    # pattern)
+    "ts_snht",
+    # 1-row digit-total and 1-row MAD broadcasts next to the ≤10-row
+    # digit table (the events_benford_check pattern)
+    "agg_benford_second_digit",
+    # 1-row (n, T) centerline broadcast onto the bounded daily error
+    # axis (the events_p_chart pattern)
+    "events_nelson_rules",
     # 1-row digit-total broadcast next to the 9-row digit table (the
     # ts_resample_gapfill 1-row pattern)
     "events_benford_check",
@@ -678,6 +696,8 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "agg_rosenbluth_index",
     # two lags over the calendar-bounded daily revenue axis
     "ts_updown_runs",
+    # row_number + prefix sum over the calendar-bounded daily axis
+    "ts_snht",
     # KM/NA windows run over the per-lifetime-DAY aggregate
     # (cardinality = days of history at any corpus scale)
     "events_survival_km",
