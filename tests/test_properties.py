@@ -380,6 +380,10 @@ _NESTED_LOOP_OK = {
     "events_survival_logrank",
     # same 1-row cutoff broadcast as events_survival_km
     "events_survival_na",
+    # same 1-row cutoff broadcast + shared lives frame as
+    # events_survival_logrank
+    "events_survival_gehan",
+    "events_survival_rmst",
     # 1-row 2J statistic × 1-row moment reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_jonckheere_terpstra",
