@@ -477,6 +477,10 @@ _NESTED_LOOP_OK = {
     # ts_qn_scale envelope) + 1-row quantile/fence broadcasts
     "ts_medcouple",
     "ts_sn_scale",
+    # TRUE day×day pair grid for the double-centered distance
+    # matrices (the ts_qn_scale envelope) + 1-row grand-mean/count
+    # broadcasts
+    "ts_distance_correlation",
     # 1-row (n, T) broadcast for the order-free Lorenz-length terms
     # (the agg_hoover_index pattern)
     "agg_amato_index",
