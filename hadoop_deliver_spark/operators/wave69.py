@@ -75,47 +75,13 @@ _LPA_STAGE = """,
     )"""
 
 
-@register(
-    "graph_label_propagation",
-    _LPA_PREFIX
-    + "".join(
-        _LPA_STAGE.format(i=i, prev=i - 1, key=_LPA_KEY)
-        for i in range(1, _LPA_ROUNDS + 1)
-    )
-    + f"""
-    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
-    FROM l{_LPA_ROUNDS} GROUP BY lbl
-    ORDER BY size DESC, community
-    """,
-    tags=("graph",),
-)
-def graph_label_propagation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Label propagation community detection (Raghavan, Albert &
-    Kumara 2007) on the Brand#23 co-purchase projection (the
-    graph_kcore_peel edge frame SPARSIFIED to co-purchase support
-    ≥ 2 — the standard co-occurrence noise floor; the unweighted
-    projection is so dense LPA correctly collapses it to one
-    community): init label(v) = v, then each
-    round every node adopts the MODAL label among its neighbors —
-    near-linear-time community detection, the scalable baseline
-    under Louvain. LPA is notoriously order/tie nondeterministic;
-    this op pins it down: SYNCHRONOUS updates (all nodes from the
-    previous round's labels, own label excluded — stated
-    convention) and the tie-break "max count, then MIN label" as
-    the single exact-integer arg_max key cnt·10¹² − lbl (10¹²
-    clears any partkey; both engines pick identical labels). FOUR
-    unrolled rounds (the graph_kcore_peel bounded-unrolling device
-    — the round count is part of the operator contract; synchronous
-    LPA need not converge, four rounds is the documented cut).
-    Output: community sizes, descending.
-
-    Scale shape: each round is one co-partitioned edge-label join +
-    a (node, label) count reduce + an exact arg_max reduce — the
-    same shuffles a billion-edge LPA takes; localCheckpoint at
-    round boundaries keeps lineage flat (cluster scale: checkpoint
-    to storage)."""
+def lpa_sym_and_labels(spark: SparkSession, sf_dir: str):
+    """Shared synchronous-LPA core (see graph_label_propagation's
+    docstring for every pinned convention): returns the symmetrized
+    sparsified Brand#23 co-purchase edge list and the final label
+    frame after the four unrolled rounds. Factored out so
+    graph_conductance (wave162) measures the SAME communities the
+    detector reports — the definition cannot drift between them."""
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = (
@@ -165,6 +131,51 @@ def graph_label_propagation(
             )
             .localCheckpoint()
         )
+    return sym, lbl
+
+
+@register(
+    "graph_label_propagation",
+    _LPA_PREFIX
+    + "".join(
+        _LPA_STAGE.format(i=i, prev=i - 1, key=_LPA_KEY)
+        for i in range(1, _LPA_ROUNDS + 1)
+    )
+    + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+    FROM l{_LPA_ROUNDS} GROUP BY lbl
+    ORDER BY size DESC, community
+    """,
+    tags=("graph",),
+)
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label propagation community detection (Raghavan, Albert &
+    Kumara 2007) on the Brand#23 co-purchase projection (the
+    graph_kcore_peel edge frame SPARSIFIED to co-purchase support
+    ≥ 2 — the standard co-occurrence noise floor; the unweighted
+    projection is so dense LPA correctly collapses it to one
+    community): init label(v) = v, then each
+    round every node adopts the MODAL label among its neighbors —
+    near-linear-time community detection, the scalable baseline
+    under Louvain. LPA is notoriously order/tie nondeterministic;
+    this op pins it down: SYNCHRONOUS updates (all nodes from the
+    previous round's labels, own label excluded — stated
+    convention) and the tie-break "max count, then MIN label" as
+    the single exact-integer arg_max key cnt·10¹² − lbl (10¹²
+    clears any partkey; both engines pick identical labels). FOUR
+    unrolled rounds (the graph_kcore_peel bounded-unrolling device
+    — the round count is part of the operator contract; synchronous
+    LPA need not converge, four rounds is the documented cut).
+    Output: community sizes, descending.
+
+    Scale shape: each round is one co-partitioned edge-label join +
+    a (node, label) count reduce + an exact arg_max reduce — the
+    same shuffles a billion-edge LPA takes; localCheckpoint at
+    round boundaries keeps lineage flat (cluster scale: checkpoint
+    to storage)."""
+    sym, lbl = lpa_sym_and_labels(spark, sf_dir)
     return (
         lbl.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("size"))

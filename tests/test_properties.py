@@ -481,6 +481,9 @@ _NESTED_LOOP_OK = {
     # matrices (the ts_qn_scale envelope) + 1-row grand-mean/count
     # broadcasts
     "ts_distance_correlation",
+    # TRUE pairwise slope join of the calendar-bounded daily series
+    # (checkpointed once) + 1-row slope/count broadcasts
+    "ts_passing_bablok",
     # 1-row (n, T) broadcast for the order-free Lorenz-length terms
     # (the agg_hoover_index pattern)
     "agg_amato_index",
