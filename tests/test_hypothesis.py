@@ -1138,3 +1138,62 @@ def test_es_cofactor_expansion_matches_numpy_linalg(seed):
     want_quad = d @ (np.linalg.inv(m) * want_det) @ d
     assert abs(det - want_det) <= 1e-9 * max(1.0, abs(want_det))
     assert abs(quad - want_quad) <= 1e-9 * max(1.0, abs(want_quad))
+
+
+def test_watermark_detector_fires_on_greenlist_chasing_corpus(
+    spark, tmp_path
+):
+    """llm_watermark_detect's fixture result is (correctly) negative
+    everywhere, so the positive path never meets the oracle. Craft a
+    corpus whose writer CHASES the greenlist — at each step pick,
+    among candidate next tokens, one whose (prev, cur) md5 leads
+    with an even hex digit — and assert the detector's z crosses the
+    paper's 4.0 threshold, while an unbiased writer stays below it."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from hadoop_deliver_spark.registry import load_all
+
+    vocab = [f"tok{i}" for i in range(50)]
+
+    def green(prev: str, cur: str) -> bool:
+        h = hashlib.md5(f"{prev} {cur}".encode()).hexdigest()
+        return h[0] in "02468ace"
+
+    rng = random.Random(7)
+
+    def write_doc(n: int, chase: bool) -> str:
+        toks = [rng.choice(vocab)]
+        for _ in range(n - 1):
+            cands = [rng.choice(vocab) for _ in range(8)]
+            if chase:
+                greens = [c for c in cands if green(toks[-1], c)]
+                toks.append(greens[0] if greens else cands[0])
+            else:
+                toks.append(cands[0])
+        return " ".join(toks)
+
+    docs = [(i, write_doc(60, True), "en", "marked", 0) for i in range(40)]
+    docs += [
+        (100 + i, write_doc(60, False), "en", "clean", 0) for i in range(40)
+    ]
+    pdf = pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "wm"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet")
+    got = {
+        r["source"]: r
+        for r in load_all()["llm_watermark_detect"]
+        .fn(spark, str(d))
+        .collect()
+    }
+    assert got["marked"]["watermarked"] and got["marked"]["z_stat"] > 4.0, got
+    assert not got["clean"]["watermarked"], got
+    # the chased corpus should sit near the 8-candidate ceiling
+    # 1 - 0.5^8 ≈ 0.996; the clean one near 0.5
+    assert got["marked"]["green_frac"] > 0.9
+    assert 0.4 < got["clean"]["green_frac"] < 0.6
