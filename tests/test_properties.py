@@ -384,6 +384,9 @@ _NESTED_LOOP_OK = {
     # events_survival_logrank
     "events_survival_gehan",
     "events_survival_rmst",
+    "events_survival_greenwood",
+    # 1-row exposure-hours broadcast onto the ≤5 type rows
+    "events_rate_byar_ci",
     # 1-row 2J statistic × 1-row moment reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_jonckheere_terpstra",
@@ -713,6 +716,7 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # (cardinality = days of history at any corpus scale)
     "events_survival_km",
     "events_survival_na",
+    "events_survival_greenwood",
     # position row_numbers over the 20-row TRUNCATED top-k lists
     # (TakeOrdered bounds them before the window)
     "llm_rank_rbo",
