@@ -1197,3 +1197,30 @@ def test_watermark_detector_fires_on_greenlist_chasing_corpus(
     # 1 - 0.5^8 ≈ 0.996; the clean one near 0.5
     assert got["marked"]["green_frac"] > 0.9
     assert 0.4 < got["clean"]["green_frac"] < 0.6
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_adj3_generator_matches_numpy_linalg(seed):
+    """events_markov_absorption's fundamental matrix rides on the
+    generated 3×3 adjugate strings: adj(M)/det must equal M⁻¹ on
+    random well-conditioned matrices."""
+    import numpy as np
+
+    from hadoop_deliver_spark.operators.wave155 import _det3
+    from hadoop_deliver_spark.operators.wave165 import _adj3
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(3, 3))
+    m = a @ a.T + 0.5 * np.eye(3)
+    names = [[f"m{i}{j}" for j in range(3)] for i in range(3)]
+    env = {f"m{i}{j}": m[i][j] for i in range(3) for j in range(3)}
+    det = eval(_det3(names), {}, env)
+    adj = np.array(
+        [[eval(s, {}, env) for s in row] for row in _adj3(names)]
+    )
+    want = np.linalg.inv(m) * np.linalg.det(m)
+    assert abs(det - np.linalg.det(m)) <= 1e-9 * max(
+        1.0, abs(np.linalg.det(m))
+    )
+    assert np.allclose(adj, want, rtol=1e-9, atol=1e-9)
