@@ -387,6 +387,9 @@ _NESTED_LOOP_OK = {
     "events_survival_greenwood",
     # 1-row exposure-hours broadcast onto the ≤5 type rows
     "events_rate_byar_ci",
+    # 1-row customer-count broadcast for the quartile rank probes
+    # (the agg_palma_ratio pattern)
+    "customers_wallet_hhi",
     # 1-row 2J statistic × 1-row moment reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_jonckheere_terpstra",
