@@ -390,6 +390,9 @@ _NESTED_LOOP_OK = {
     # 1-row customer-count broadcast for the quartile rank probes
     # (the agg_palma_ratio pattern)
     "customers_wallet_hhi",
+    # DOMAIN-bounded ≤11×9 discount×tax cell grid (cross join of two
+    # distinct-domain frames) + 1-row prior/count broadcasts
+    "agg_naive_bayes_eval",
     # 1-row 2J statistic × 1-row moment reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_jonckheere_terpstra",
@@ -715,6 +718,8 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "ts_updown_runs",
     # row_number + prefix sum over the calendar-bounded daily axis
     "ts_snht",
+    # running sums over the ≤11-row discount DOMAIN frame
+    "agg_decision_stump",
     # KM/NA windows run over the per-lifetime-DAY aggregate
     # (cardinality = days of history at any corpus scale)
     "events_survival_km",
