@@ -493,6 +493,10 @@ _NESTED_LOOP_OK = {
     # TRUE pairwise slope join of the calendar-bounded daily series
     # (checkpointed once) + 1-row slope/count broadcasts
     "ts_passing_bablok",
+    # window-expansion range join + window-pair cross products, BOTH
+    # sides calendar-bounded (the ts_qn_scale envelope) + 1-row
+    # count broadcast
+    "ts_matrix_profile",
     # 1-row (n, T) broadcast for the order-free Lorenz-length terms
     # (the agg_hoover_index pattern)
     "agg_amato_index",
@@ -720,6 +724,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "ts_snht",
     # running sums over the ≤11-row discount DOMAIN frame
     "agg_decision_stump",
+    # rolling μ/σ and profile rank windows over the calendar-bounded
+    # ranked day axis
+    "ts_matrix_profile",
     # KM/NA windows run over the per-lifetime-DAY aggregate
     # (cardinality = days of history at any corpus scale)
     "events_survival_km",
