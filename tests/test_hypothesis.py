@@ -1224,3 +1224,48 @@ def test_adj3_generator_matches_numpy_linalg(seed):
         1.0, abs(np.linalg.det(m))
     )
     assert np.allclose(adj, want, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(min_value=1e-9, max_value=1 - 1e-9))
+def test_probit_sql_matches_stdlib_inverse_normal(p):
+    """probit_sql's Acklam polynomial must agree with Python's
+    statistics.NormalDist().inv_cdf to the published 1.15e-9 bound
+    (plus evaluation slack) across the whole open interval —
+    including both tail branches."""
+    import math
+    import statistics
+
+    from hadoop_deliver_spark.operators.wave172 import probit_sql
+
+    # replicate the generated expression's three branches with the
+    # same literals (probit_sql itself is exercised end-to-end by the
+    # ppcc/vdw oracles; this pins the MATH against the stdlib)
+    assert "CASE WHEN" in probit_sql("p")
+    from hadoop_deliver_spark.operators.wave172 import (
+        _A,
+        _B,
+        _C,
+        _D,
+        _P_LOW,
+    )
+
+    def horner(coeffs, v):
+        acc = float(coeffs[0])
+        for c in coeffs[1:]:
+            acc = acc * v + float(c)
+        return acc
+
+    pl = float(_P_LOW)
+    if p < pl:
+        q = math.sqrt(-2 * math.log(p))
+        got = horner(_C, q) / (horner(_D, q) * q + 1.0)
+    elif p > 1 - pl:
+        q = math.sqrt(-2 * math.log(1 - p))
+        got = -(horner(_C, q) / (horner(_D, q) * q + 1.0))
+    else:
+        q = p - 0.5
+        r = q * q
+        got = q * horner(_A, r) / (horner(_B, r) * r + 1.0)
+    want = statistics.NormalDist().inv_cdf(p)
+    assert abs(got - want) < 2e-9 * max(1.0, abs(want)) + 2e-9

@@ -503,6 +503,10 @@ _NESTED_LOOP_OK = {
     # 1-row pooled-count and 1-row (t1, t2) frequency broadcasts onto
     # the ranked/raw scans (the agg_quartile_dispersion pattern)
     "agg_epps_singleton",
+    # 1-row pooled-count broadcasts for the per-row normal scores
+    # (the agg_epps_singleton pattern)
+    "agg_ppcc_filliben",
+    "agg_vanderwaerden",
     # 1-row moment broadcast onto the bounded daily axis + 1-row
     # max-T broadcast for the argmax day (the ts_buishand_range
     # pattern)
