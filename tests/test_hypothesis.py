@@ -1269,3 +1269,27 @@ def test_probit_sql_matches_stdlib_inverse_normal(p):
         got = q * horner(_A, r) / (horner(_B, r) * r + 1.0)
     want = statistics.NormalDist().inv_cdf(p)
     assert abs(got - want) < 2e-9 * max(1.0, abs(want)) + 2e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(min_value=-8, max_value=8))
+def test_phi_sql_matches_stdlib_normal_cdf(x):
+    """phi_sql's A&S 26.2.17 polynomial must agree with the stdlib
+    normal CDF to the published 7.5e-8 bound."""
+    import math
+    import statistics
+
+    from hadoop_deliver_spark.operators.wave173 import (
+        _INV_SQRT_2PI,
+        _PHI_B,
+        _PHI_P,
+    )
+
+    ax = abs(x)
+    t = 1.0 / (1.0 + float(_PHI_P) * ax)
+    b = [float(v) for v in _PHI_B]
+    poly = ((((b[4] * t + b[3]) * t + b[2]) * t + b[1]) * t + b[0]) * t
+    upper = 1.0 - float(_INV_SQRT_2PI) * math.exp(-0.5 * ax * ax) * poly
+    got = upper if x >= 0 else 1.0 - upper
+    want = statistics.NormalDist().cdf(x)
+    assert abs(got - want) < 1e-7

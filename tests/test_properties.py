@@ -507,6 +507,10 @@ _NESTED_LOOP_OK = {
     # (the agg_epps_singleton pattern)
     "agg_ppcc_filliben",
     "agg_vanderwaerden",
+    "agg_gaussian_rank_corr",
+    # 1-row moment broadcast onto the ranked scan for the fitted-CDF
+    # deviations (the agg_epps_singleton pattern)
+    "agg_lilliefors",
     # 1-row moment broadcast onto the bounded daily axis + 1-row
     # max-T broadcast for the argmax day (the ts_buishand_range
     # pattern)
