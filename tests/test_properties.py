@@ -511,6 +511,8 @@ _NESTED_LOOP_OK = {
     # 1-row moment broadcast onto the ranked scan for the fitted-CDF
     # deviations (the agg_epps_singleton pattern)
     "agg_lilliefors",
+    "agg_anderson_darling_normal",
+    "agg_zhang_zk",
     # 1-row moment broadcast onto the bounded daily axis + 1-row
     # max-T broadcast for the argmax day (the ts_buishand_range
     # pattern)
