@@ -497,6 +497,10 @@ _NESTED_LOOP_OK = {
     # sides calendar-bounded (the ts_qn_scale envelope) + 1-row
     # count broadcast
     "ts_matrix_profile",
+    # day×frequency Schuster grids, BOTH axes calendar-bounded (the
+    # ts_qn_scale envelope) + 1-row total broadcasts
+    "ts_fisher_g_test",
+    "ts_bartlett_cumpgram",
     # 1-row (n, T) broadcast for the order-free Lorenz-length terms
     # (the agg_hoover_index pattern)
     "agg_amato_index",
@@ -737,6 +741,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # rolling μ/σ and profile rank windows over the calendar-bounded
     # ranked day axis
     "ts_matrix_profile",
+    # row index over the bounded daily axis + prefix sums over the
+    # bounded frequency / series-term axes
+    "ts_fisher_g_test",
+    "ts_bartlett_cumpgram",
     # KM/NA windows run over the per-lifetime-DAY aggregate
     # (cardinality = days of history at any corpus scale)
     "events_survival_km",
