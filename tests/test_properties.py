@@ -512,6 +512,12 @@ _NESTED_LOOP_OK = {
     "agg_ppcc_filliben",
     "agg_vanderwaerden",
     "agg_gaussian_rank_corr",
+    # 1-row midpoint/total broadcasts for the epoch split and
+    # mixture terms (the llm_source_kl pattern)
+    "llm_corpus_drift",
+    # 1-row median/MAD broadcasts onto the deviation scans (the
+    # agg_mood_median pattern)
+    "agg_hampel_identifier",
     # 1-row moment broadcast onto the ranked scan for the fitted-CDF
     # deviations (the agg_epps_singleton pattern)
     "agg_lilliefors",
