@@ -393,6 +393,13 @@ _NESTED_LOOP_OK = {
     # DOMAIN-bounded ≤11×9 discount×tax cell grid (cross join of two
     # distinct-domain frames) + 1-row prior/count broadcasts
     "agg_naive_bayes_eval",
+    # 1-row grand-moment broadcast onto the ≤5 segment rows (the
+    # agg_icc_oneway pattern)
+    "agg_eta_omega_squared",
+    # 1-row root-digest broadcast onto the 16 leaf rows
+    "delivery_merkle_root",
+    # 1-row total-edge-endpoint broadcast onto the ≤communities rows
+    "graph_conductance",
     # 1-row 2J statistic × 1-row moment reduce (the
     # ts_resample_gapfill 1-row pattern)
     "agg_jonckheere_terpstra",
@@ -751,6 +758,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # bounded frequency / series-term axes
     "ts_fisher_g_test",
     "ts_bartlett_cumpgram",
+    # unbounded-frame accuracy window over the ≤9-row confusion
+    # DOMAIN frame
+    "agg_naive_bayes_eval",
     # KM/NA windows run over the per-lifetime-DAY aggregate
     # (cardinality = days of history at any corpus scale)
     "events_survival_km",
@@ -1776,6 +1786,10 @@ _COLLECT_OK = {
     # 1-row survivor-count aggregate per peel round (8 rounds, 8 rows
     # total — the iterative-algorithm round-boundary readout)
     ("wave56.py", "graph_kcore_peel"),
+    # calendar-bounded hourly error counts (≤ hours-of-history rows at
+    # ANY corpus scale) + 1-row bounds — the sequential Viterbi DP
+    # runs driver-side like events_markov_reach's 25-cell recurrence
+    ("wave167.py", "events_kleinberg_bursts"),
     # 1-row scalar aggregates (grand totals, maxima, anchors, averages)
     ("analytics3.py", "orders_pareto_abc"),
     ("classics.py", "supplier_top_revenue"),
