@@ -2796,3 +2796,256 @@ def winnow_fingerprints(
         lambda i: F.array_min(F.slice("_wf_h", i, window_w)),
     )
     return h.select(id_col, F.explode(F.array_distinct(mins)).alias("f"))
+
+
+#: dense-path gates for the co-membership neighbor-bitmap core
+#: (:func:`co_membership_edges` / :func:`co_membership_degrees`): the
+#: per-id neighbor bitmap is ⌈(max_id+1)/64⌉ longs wide (cap: 4096
+#: words = 32 KiB/row, i.e. ids < 262 144), and the per-block
+#: membership bitmaps are BROADCAST (n_blocks · n_chunks longs ≤ 2²²
+#: = 32 MiB — the jaccard/triangle budget family). Past either gate
+#: the core falls back to the block-equi-join + distinct formulation,
+#: which never materializes anything O(|V|)-wide.
+_NEIGHBOR_BITMAP_MAX_CHUNKS = 1 << 12
+_NEIGHBOR_BITMAP_MAX_WORDS = 1 << 22
+
+#: 64 single-bit masks as a literal column (signed-long bit 63), so
+#: bit tests inside higher-order-function lambdas never need a
+#: column-valued shift amount (F.shiftleft takes only literal counts).
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _bit_masks_col() -> Column:
+    return F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+
+
+def bitmap_degree(bm) -> Column:
+    """Popcount of a :func:`bitmap_sets`-style array<long> bitmap:
+    Σ bit_count(word), codegen'd."""
+    bm = F.col(bm) if isinstance(bm, str) else bm
+    return F.aggregate(
+        F.transform(bm, lambda w: F.bit_count(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def bitmap_members(bm, n_bits: int) -> Column:
+    """array<long> of the SET bit positions of ``bm`` (ascending) —
+    the bitmap→id-list decode, in-row (filter over the id range; no
+    explode, no UDF)."""
+    bm = F.col(bm) if isinstance(bm, str) else bm
+    masks = _bit_masks_col()
+    return F.filter(
+        F.sequence(F.lit(0).cast("long"), F.lit(int(n_bits) - 1).cast("long")),
+        lambda v: (
+            F.element_at(bm, (v / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(masks, (v % 64).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+
+
+def neighbor_bitmaps(
+    du: DataFrame, block_col: str, id_col: str, n_chunks: int
+) -> DataFrame:
+    """(id_col, bm) — per id, the fixed-width bitmap of all OTHER ids
+    sharing at least one ``block_col`` value with it (the
+    co-membership / co-activity adjacency row). ``id_col`` must hold
+    non-null integral ids in ``[0, 64·n_chunks)`` — the caller gates
+    (see :func:`co_membership_edges`). ``du`` need NOT be
+    de-duplicated: bit_or is idempotent, so the (block, id) distinct
+    shuffle the join formulation pays is skipped entirely.
+
+    Shape: one block-keyed bitmap reduce (≤ n_blocks · n_chunks longs,
+    broadcast), one broadcast attach + word explode, one map-side-
+    combined (id, word) bit_or reduce, one in-row assembly — NOTHING
+    quadratic: the per-day O(n_d²) pair fan-out of the join
+    formulation never exists. Own bit cleared at the end."""
+    blocks = bitmap_sets(du, block_col, id_col, n_chunks, out="_nb_bm")
+    per = (
+        du.join(F.broadcast(blocks), block_col)
+        .select(id_col, F.posexplode("_nb_bm").alias("_nb_c", "_nb_w"))
+        .filter(F.col("_nb_w") != 0)
+        .groupBy(id_col, "_nb_c")
+        .agg(F.bit_or("_nb_w").alias("_nb_m"))
+    )
+    own_c = (F.col(id_col) / 64).cast("int")
+    own_m = F.element_at(_bit_masks_col(), (F.col(id_col) % 64).cast("int") + 1)
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("_nb_c"), F.collect_list("_nb_m")
+            ).alias("_nb_cm")
+        )
+        .withColumn(
+            "bm",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.when(
+                    c == own_c,
+                    F.coalesce(
+                        F.try_element_at(F.col("_nb_cm"), c),
+                        F.lit(0).cast("long"),
+                    ).bitwiseAND(F.bitwise_not(own_m)),
+                ).otherwise(
+                    F.coalesce(
+                        F.try_element_at(F.col("_nb_cm"), c),
+                        F.lit(0).cast("long"),
+                    )
+                ),
+            ),
+        )
+        .select(id_col, "bm")
+    )
+
+
+def _co_membership_gate(du: DataFrame, block_col: str, id_col: str):
+    """Probe the dense-path gates: returns ``(n_chunks, n_blocks)``
+    when the neighbor-bitmap core applies, else ``None``. One small
+    scalar agg action."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        du.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        return None
+    r = du.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.count_distinct(block_col).alias("nb"),
+    ).first()
+    if r["lo"] is None or r["lo"] < 0:
+        return None
+    n_chunks = int(r["hi"]) // 64 + 1
+    if n_chunks > _NEIGHBOR_BITMAP_MAX_CHUNKS:
+        return None
+    if int(r["nb"]) * n_chunks > _NEIGHBOR_BITMAP_MAX_WORDS:
+        return None
+    return n_chunks, int(r["nb"])
+
+
+def _co_membership_edges_join(
+    du: DataFrame, block_col: str, id_col: str
+) -> DataFrame:
+    """The web-scale fallback formulation: block-equi self-join with
+    ``id < id`` orientation, then distinct — O(Σ n_block²) pair
+    fan-out but nothing O(|V|)-wide, no broadcast, ids unrestricted."""
+    a, b = du.alias("a"), du.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("u"), F.col(f"b.{id_col}").alias("v")
+        )
+        .distinct()
+    )
+
+
+def co_membership_edges(
+    du: DataFrame, block_col: str, id_col: str
+) -> DataFrame:
+    """(u, v) distinct co-membership edges (u < v): two ids are
+    adjacent iff they share at least one ``block_col`` value. Dense
+    path (ids integral, small, block bitmaps within the broadcast
+    budget — see :data:`_NEIGHBOR_BITMAP_MAX_CHUNKS` /
+    :data:`_NEIGHBOR_BITMAP_MAX_WORDS`): decode each id's neighbor
+    bitmap to the neighbors ABOVE it — each edge emitted exactly once
+    from its lower endpoint, map-side, so the join formulation's
+    quadratic pair shuffle + distinct never runs. Past the gates:
+    :func:`_co_membership_edges_join` (the prior formulation,
+    unrestricted scale). Both paths proven equal by property test."""
+    gate = _co_membership_gate(du, block_col, id_col)
+    if gate is None:
+        # the join path pays per-block quadratic fan-out: dedup first
+        return _co_membership_edges_join(
+            du.select(block_col, id_col).distinct(), block_col, id_col
+        )
+    n_chunks, _ = gate
+    nb = neighbor_bitmaps(du, block_col, id_col, n_chunks)
+    return nb.select(
+        F.col(id_col).alias("u"),
+        F.explode(
+            F.filter(
+                bitmap_members("bm", n_chunks * 64),
+                lambda v: v > F.col(id_col),
+            )
+        ).alias("v"),
+    )
+
+
+def co_membership_degrees(
+    du: DataFrame, block_col: str, id_col: str, out: str = "degree"
+) -> DataFrame:
+    """(id_col, out) — each id's co-membership degree (count of OTHER
+    ids sharing ≥1 block). Dense path: popcount of the neighbor
+    bitmap — no edge list is ever materialized. Fallback: endpoint
+    unpivot + count over the join-formulation edges (the prior
+    shape). Ids with no co-members (alone in all their blocks) have
+    degree 0 on the dense path but NO ROW in the fallback — callers
+    relying on the zero rows must gate themselves; the fixture
+    operators filter/aggregate in ways where both agree (complete
+    per-block fan-out ⇒ every id with a non-singleton block appears);
+    to keep the two paths IDENTICAL the dense path drops degree-0
+    rows too."""
+    gate = _co_membership_gate(du, block_col, id_col)
+    if gate is None:
+        e = _co_membership_edges_join(
+            du.select(block_col, id_col).distinct(), block_col, id_col
+        )
+        ends = e.select(F.col("u").alias(id_col)).unionAll(
+            e.select(F.col("v").alias(id_col))
+        )
+        return ends.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias(out)
+        )
+    n_chunks, _ = gate
+    nb = neighbor_bitmaps(du, block_col, id_col, n_chunks)
+    return nb.select(id_col, bitmap_degree("bm").alias(out)).filter(
+        F.col(out) > 0
+    )
+
+
+def triangle_stats_from_neighbors(
+    nb: DataFrame, id_col: str
+) -> tuple[int, int]:
+    """(n_edges, n_triangles) — EXACT counts from a
+    :func:`neighbor_bitmaps` table: each edge decodes once from its
+    lower endpoint (map-side), and Σ over unordered edges (u<v) of
+    |N(u) ∩ N(v)| counts every triangle exactly 3×. The nb table is
+    broadcast (caller's gate already bounds |V|·n_chunks). One
+    aggregate action plus one 1-row width probe."""
+    first = nb.select(F.size("bm").alias("w")).first()
+    if first is None:
+        return 0, 0
+    n_bits = int(first["w"]) * 64
+    pairs = nb.select(
+        F.col(id_col).alias("_tn_u"),
+        F.col("bm").alias("_tn_bm_u"),
+        F.explode(
+            F.filter(
+                bitmap_members("bm", n_bits), lambda v: v > F.col(id_col)
+            )
+        ).alias("_tn_v"),
+    )
+    bv = nb.select(
+        F.col(id_col).alias("_tn_v"), F.col("bm").alias("_tn_bm_v")
+    )
+    row = (
+        pairs.join(F.broadcast(bv), "_tn_v")
+        .select(
+            bitmap_intersect_count("_tn_bm_u", "_tn_bm_v").alias("_tn_c")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_tn_ne"),
+            F.sum("_tn_c").alias("_tn_t3"),
+        )
+        .first()
+    )
+    return int(row["_tn_ne"] or 0), int(row["_tn_t3"] or 0) // 3

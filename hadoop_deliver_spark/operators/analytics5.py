@@ -181,26 +181,17 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triangle query computes. Edge endpoints unpivot via UNION ALL
     (no shuffle) into one node-keyed count; the quadratic risk lives
     only in the per-day edge fan-out, same bound as the triangle
-    operator."""
+    operator. r12 optimization (guide §2.4): degrees now come from
+    api.co_membership_degrees — inside the dense gate that is a
+    neighbor-bitmap popcount (the per-day pair fan-out + distinct
+    never runs), past it the prior join formulation."""
+    from hadoop_deliver_spark.api import co_membership_degrees
+
     e = tbl(spark, sf_dir, "events")
-    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    a, b = du.alias("a"), du.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
-    ends = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
+    du = e.select(F.to_date("ts").alias("day"), "user_id")
     return (
-        ends.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(F.col("node").alias("user_id"), "degree")
+        co_membership_degrees(du, "day", "user_id", out="degree")
+        .withColumn("degree", F.col("degree").cast("long"))
         .orderBy("user_id")
     )
 

@@ -72,23 +72,15 @@ def graph_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-day edge fan-out (bounded like the
     triangle operator), one UNION-ALL endpoint unpivot, one degree
-    reduce, one 4-sum moment reduce."""
+    reduce, one 4-sum moment reduce. r12 optimization (guide §2.4):
+    degrees via api.co_membership_degrees — neighbor-bitmap popcount
+    inside the dense gate (no quadratic pair fan-out), the prior
+    join formulation past it."""
+    from hadoop_deliver_spark.api import co_membership_degrees
+
     e = tbl(spark, sf_dir, "events")
-    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    a, b = du.alias("a"), du.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
-    ends = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
-    deg = ends.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    du = e.select(F.to_date("ts").alias("day"), "user_id")
+    deg = co_membership_degrees(du, "day", "user_id", out="k")
     mom = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("k").cast("long").alias("sk"),

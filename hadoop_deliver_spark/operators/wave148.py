@@ -95,26 +95,21 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle operator), one node-keyed count, a 32-block ranked scan,
     one 1-row reduce, one broadcast-filtered re-reduce."""
     e = tbl(spark, sf_dir, "events")
-    du = (
-        e.filter(F.col("event_type") == "error")
-        .select(F.to_date("ts").alias("day"), "user_id")
-        .distinct()
+    du = e.filter(F.col("event_type") == "error").select(
+        F.to_date("ts").alias("day"), "user_id"
     )
-    a, b = du.alias("a"), du.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
-    ends = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
-    deg = ends.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    # r12 optimization (guide §2.4 + §1): degrees via the
+    # co-membership neighbor-bitmap core (no per-day pair fan-out
+    # inside the dense gate), renamed to the edge-endpoint shape, and
+    # localCheckpoint'd ONCE — exact_global_rank's split/offset probe
+    # actions plus the two downstream reduces would otherwise
+    # recompute the degree pipeline four times.
+    from hadoop_deliver_spark.api import co_membership_degrees
+
+    deg = (
+        co_membership_degrees(du, "day", "user_id", out="degree")
+        .withColumnRenamed("user_id", "node")
+        .localCheckpoint(eager=True)
     )
     r = exact_global_rank(deg, "degree", "node", "rk")
     s = r.agg(

@@ -74,29 +74,62 @@ def graph_leverage_centrality(
     node-keyed degree count, two degree equi-joins onto the
     symmetrized edge list, one node-keyed mean."""
     e = tbl(spark, sf_dir, "events")
-    du = (
-        e.filter(F.col("event_type") == "error")
-        .select(F.to_date("ts").alias("day"), "user_id")
-        .distinct()
+    du0 = e.filter(F.col("event_type") == "error").select(
+        F.to_date("ts").alias("day"), "user_id"
     )
-    a, b = du.alias("a"), du.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+    # r12 optimization (guide §2.4): inside the co-membership gate the
+    # symmetrized pair list decodes map-side from neighbor bitmaps
+    # (every directed (u, v∈N(u)) pair exactly once — the same
+    # multiset the union-all symmetrization produced), degrees are
+    # popcounts, and the two degree attachments become BROADCAST
+    # joins; past the gate the prior join formulation runs unchanged.
+    from hadoop_deliver_spark.api import (
+        _co_membership_gate,
+        bitmap_degree,
+        bitmap_members,
+        neighbor_bitmaps,
+    )
+
+    gate = _co_membership_gate(du0, "day", "user_id")
+    if gate is not None:
+        nb = neighbor_bitmaps(du0, "day", "user_id", gate[0]).localCheckpoint(
+            eager=True
         )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("k")
-    )
-    di = deg.select(F.col("node").alias("u"), F.col("k").alias("ki"))
-    dj = deg.select(F.col("node").alias("v"), F.col("k").alias("kj"))
+        deg = nb.select(
+            F.col("user_id").alias("node"), bitmap_degree("bm").alias("k")
+        ).filter(F.col("k") > 0)
+        sym = nb.select(
+            F.col("user_id").alias("u"),
+            F.explode(bitmap_members("bm", gate[0] * 64)).alias("v"),
+        )
+        di = F.broadcast(
+            deg.select(F.col("node").alias("u"), F.col("k").alias("ki"))
+        )
+        dj = F.broadcast(
+            deg.select(F.col("node").alias("v"), F.col("k").alias("kj"))
+        )
+    else:
+        du = du0.distinct()
+        a, b = du.alias("a"), du.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.day") == F.col("b.day"))
+                & (F.col("a.user_id") < F.col("b.user_id")),
+            )
+            .select(
+                F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+            )
+            .distinct()
+        )
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        )
+        di = deg.select(F.col("node").alias("u"), F.col("k").alias("ki"))
+        dj = deg.select(F.col("node").alias("v"), F.col("k").alias("kj"))
     return (
         sym.join(di, "u")
         .join(dj, "v")

@@ -1810,6 +1810,10 @@ _COLLECT_OK = {
     ("api.py", "jaccard_pairs"),
     ("api.py", "containment_pairs"),
     ("api.py", "triangle_count"),
+    # 1-row .first() scalar probes: id-range/block-count gate and
+    # bitmap width for the co-membership neighbor-bitmap core
+    ("api.py", "_co_membership_gate"),
+    ("api.py", "triangle_stats_from_neighbors"),
     # d² reduced moment entries (64-dim → 4,096 doubles) — bounded by
     # vector width, never row count (cosine_pairs direction finding)
     ("api.py", "_principal_directions"),
@@ -2232,3 +2236,88 @@ def test_adaptive_quantizer_engages_and_is_scale_invariant(spark, duck, sf_dir):
                 f"{name}: scaled-fixture {stat_col}={got} drifted from "
                 f"base {want} beyond the quantizer coarsening envelope"
             )
+
+
+def test_co_membership_paths_agree(spark):
+    """The co-membership neighbor-bitmap core (r12 optimization) and
+    the block-equi-join + distinct formulation it replaced must agree
+    EXACTLY on edges, degrees and triangle stats — on random messy
+    (block, id) tables with duplicate rows, gappy id spaces, singleton
+    blocks and multi-block ids — and the gate must refuse ids it
+    cannot bitmap (negatives, non-integral, past the width cap)."""
+    import itertools
+    import random
+
+    from hadoop_deliver_spark import api
+
+    for seed, n_ids, n_blocks, p_pct in [(3, 25, 6, 35), (9, 60, 4, 15),
+                                         (17, 10, 8, 70)]:
+        rng = random.Random(seed)
+        rows = []
+        ids = sorted(rng.sample(range(0, n_ids * 5), n_ids))  # gappy ids
+        for b in range(n_blocks):
+            for i in ids:
+                if rng.randrange(100) < p_pct:
+                    rows.append((b, i))
+                    if rng.random() < 0.3:  # duplicate membership rows
+                        rows.append((b, i))
+        if not rows:
+            rows = [(0, ids[0])]
+        du = spark.createDataFrame(rows, "blk long, nid long")
+        gate = api._co_membership_gate(du, "blk", "nid")
+        assert gate is not None, "fixture-sized ids must pass the gate"
+
+        # first principles: undirected co-membership edge set
+        members = {}
+        for b, i in rows:
+            members.setdefault(b, set()).add(i)
+        want_edges = set()
+        for s in members.values():
+            want_edges |= set(itertools.combinations(sorted(s), 2))
+        want_deg = {}
+        for u, v in want_edges:
+            want_deg[u] = want_deg.get(u, 0) + 1
+            want_deg[v] = want_deg.get(v, 0) + 1
+        want_tri = sum(
+            1
+            for a, b2, c in itertools.combinations(sorted(want_deg), 3)
+            if (a, b2) in want_edges
+            and (b2, c) in want_edges
+            and (a, c) in want_edges
+        )
+
+        dense = {
+            (r["u"], r["v"])
+            for r in api.co_membership_edges(du, "blk", "nid").collect()
+        }
+        joinp = {
+            (r["u"], r["v"])
+            for r in api._co_membership_edges_join(
+                du.distinct(), "blk", "nid"
+            ).collect()
+        }
+        assert dense == joinp == want_edges
+
+        got_deg = {
+            r["nid"]: r["degree"]
+            for r in api.co_membership_degrees(du, "blk", "nid").collect()
+        }
+        assert got_deg == want_deg
+
+        nb = api.neighbor_bitmaps(du, "blk", "nid", gate[0])
+        ne, tri = api.triangle_stats_from_neighbors(nb, "nid")
+        assert ne == len(want_edges)
+        assert tri == want_tri
+
+    # gate refusals: negative ids, string ids, past-width ids
+    neg = spark.createDataFrame([(0, -1), (0, 3)], "blk long, nid long")
+    assert api._co_membership_gate(neg, "blk", "nid") is None
+    stri = spark.createDataFrame([(0, "a")], "blk long, nid string")
+    assert api._co_membership_gate(stri, "blk", "nid") is None
+    wide = spark.createDataFrame(
+        [(0, 64 * api._NEIGHBOR_BITMAP_MAX_CHUNKS)], "blk long, nid long"
+    )
+    assert api._co_membership_gate(wide, "blk", "nid") is None
+    # fallback path on a refused input still yields the right edges
+    fb = api.co_membership_edges(neg, "blk", "nid").collect()
+    assert {(r["u"], r["v"]) for r in fb} == {(-1, 3)}
