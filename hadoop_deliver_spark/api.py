@@ -359,6 +359,46 @@ def connected_components(
 # map-side or hash-partitioned; the only collects are scalar probes.
 
 
+def spread_bounded(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition of a BOUNDED small table (calendar
+    axis, daily series) to the session's default parallelism — for
+    use immediately before a pairwise/cross join that fans it out
+    quadratically. Without this the streamed side of the
+    nested-loop join is typically ONE AQE-coalesced partition, so
+    the O(n²) fan-out and every downstream aggregate run on a
+    single task (r12 measurement, guide §2.5/§2.6: ts_passing_bablok
+    spent 6.3s of 10.7s in single-task stages). The shuffle moved is
+    only the bounded axis itself (≤ a few thousand rows); the
+    partition count follows the session's core count, never a
+    constant. Row-level results are unaffected: every consumer is an
+    order-invariant reduce or an exact-rank core with a total-order
+    tiebreak."""
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(max(2, n))
+
+
+def _materialize_for_probes(df: DataFrame) -> DataFrame:
+    """Materialize a block-ranked core's input ONCE (eager
+    localCheckpoint) before the core's two scalar probe actions
+    (split points, block sizes/sums) run. Without this every probe —
+    plus the final query and any downstream self-join — re-executes
+    the input's full lineage, so a core over an expensive upstream
+    (join + grid + cumsum) pays it 3–5×; r12 measurement: the
+    chatterjee/hl-shift/passing-bablok family spent most of its time
+    in exactly these recomputes (guide §1/§5 — probe actions are
+    driver-side scalar reduces, the data pass they trigger is not).
+    Inputs that are ALREADY a checkpoint scan (callers like
+    graph_degree_gini checkpoint themselves) skip the re-store. Same
+    non-recoverable-lineage caveat as every localCheckpoint use in
+    this package: within-query scope only."""
+    try:
+        if df._jdf.queryExecution().analyzed().nodeName() == "LogicalRDD":
+            return df
+    except Exception:
+        pass
+    return df.localCheckpoint(eager=True)
+
+
 def _approx_splits(df: DataFrame, value_col: str, nblocks: int) -> list[int]:
     """Deduplicated percentile_approx split points for block
     assignment. On an EMPTY input percentile_approx returns NULL —
@@ -417,6 +457,7 @@ def exact_global_ntile(
 
     >>> exact_global_ntile(users, "revenue_cents", "user_id", 5, "quintile")
     """
+    df = _materialize_for_probes(df)
     splits = _approx_splits(df, value_col, nblocks)
     split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
@@ -461,6 +502,7 @@ def exact_global_cumsum_desc(
     exact total of all strictly-higher blocks. Integer values ⇒
     associative ⇒ identical to the single-task global window at any
     parallelism. key_col must be unique (deterministic tiebreak)."""
+    df = _materialize_for_probes(df)
     splits = _approx_splits(df, value_col, nblocks)
     split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
@@ -495,6 +537,7 @@ def exact_global_rank(
     and the broadcast cumulative block sizes shift each block to its
     global offset. key_col must be unique (deterministic total order);
     integer value columns."""
+    df = _materialize_for_probes(df)
     splits = _approx_splits(df, value_col, nblocks)
     split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
@@ -537,6 +580,7 @@ def exact_global_keyed_cumsum(
 
     >>> cdf = exact_global_keyed_cumsum(byval, "cents", "cnt", "cents", "cum")
     """
+    df = _materialize_for_probes(df)
     splits = _approx_splits(df, order_col, nblocks)
     split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
@@ -625,6 +669,7 @@ def exact_stratified_rank(
     >>> ranked = exact_stratified_rank(h, "event_type", "h32",
     ...                                ["hx", "event_id"], "pos")
     """
+    df = _materialize_for_probes(df)
     splits = _approx_splits(df, block_col, nblocks)
     split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"
@@ -662,6 +707,7 @@ def exact_stratified_cumsum(
 
     >>> c = exact_stratified_cumsum(t, "lang", "doc_id", "n_tok", "cum")
     """
+    df = _materialize_for_probes(df)
     splits = _approx_splits(df, order_col, nblocks)
     split_arr = _split_arr(splits)
     blk = f"_blk_{out_col}"

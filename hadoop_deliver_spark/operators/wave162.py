@@ -152,8 +152,16 @@ def ts_passing_bablok(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ox.join(oy, "day").select(
         F.datediff("day", F.lit("1990-01-01")).alias("dn"), "x", "y"
     )
-    a = d.select(
-        F.col("dn").alias("i"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    # r12 (guide §2.5/§2.6): spread the streamed side of the pairwise
+    # NLJ across the session cores and pin the broadcast side — the
+    # AQE-coalesced single-partition daily table otherwise serializes
+    # the O(days²) slope fan-out and the rank probes behind one task.
+    a = api.spread_bounded(
+        d.select(
+            F.col("dn").alias("i"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+        )
     )
     b2 = d.select(
         F.col("dn").alias("j"), F.col("x").alias("xb"), F.col("y").alias("yb")
@@ -162,7 +170,7 @@ def ts_passing_bablok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xb") - F.col("xa")
     )
     sl = (
-        a.join(b2, F.col("i") < F.col("j"))
+        a.join(F.broadcast(b2), F.col("i") < F.col("j"))
         .filter(F.col("xa") != F.col("xb"))
         .select(
             sexpr.alias("s"),

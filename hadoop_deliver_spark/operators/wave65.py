@@ -130,7 +130,14 @@ def agg_hl_shift_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = daily.filter(F.col("smp") == 2).select(
         F.col("cents").alias("cb")
     )
-    diffs = a.crossJoin(b).select((F.col("ca") - F.col("cb")).alias("d"))
+    # r12 (guide §2.5/§2.6): spread the streamed side — the filtered
+    # daily series is one AQE-coalesced partition, serializing the
+    # ≤6M-pair fan-out and its groupBy behind a single task otherwise.
+    diffs = (
+        api.spread_bounded(a)
+        .crossJoin(F.broadcast(b))
+        .select((F.col("ca") - F.col("cb")).alias("d"))
+    )
     # pin the ≤6M-row distinct-difference frame: the block-ranked
     # cumsum needs three more actions (split sampling, block sizes,
     # total) and each would otherwise recompute the cross join

@@ -121,11 +121,18 @@ def ts_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
     )
-    a = idx.select(
-        F.col("y").alias("ya"), F.col("i").alias("ia"), F.col("n")
+    # r12 (guide §2.5/§2.6): spread the streamed side of the pairwise
+    # NLJ — the single-partition daily table otherwise serializes the
+    # O(days²) difference fan-out and its groupBy behind one task.
+    from hadoop_deliver_spark.api import spread_bounded
+
+    a = spread_bounded(
+        idx.select(
+            F.col("y").alias("ya"), F.col("i").alias("ia"), F.col("n")
+        )
     )
     b = idx.select(F.col("y").alias("yb"), F.col("i").alias("ib"))
-    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
         F.abs(F.col("ya") - F.col("yb")).alias("d")
     )
     # scalar probes on the BOUNDED daily axis (one row per calendar
