@@ -888,9 +888,10 @@ def _data_version(df: DataFrame) -> int:
 
 
 def clear_stage_caches() -> None:
-    """Drop every session-memoized dedup stage: the gram/shingle
-    ``localCheckpoint`` memo here and the near-dup component-label
-    cache in ``operators.llm_text``. Call this after mutating a
+    """Drop every session-memoized dedup/graph stage: the gram/shingle
+    ``localCheckpoint`` memo here, the near-dup component-label
+    cache in ``operators.llm_text``, and the co-purchase projection
+    memo in ``operators.graph``. Call this after mutating a
     source table in place within one application, or after an
     executor loss (the memoized localCheckpoint blocks are not
     fault-tolerant — a later cache hit would fail on truncated
@@ -905,6 +906,12 @@ def clear_stage_caches() -> None:
             except Exception:
                 pass
         llm_text._cc_cache.clear()
+    except Exception:
+        pass
+    try:
+        from hadoop_deliver_spark.operators import graph as _graph_ops
+
+        _graph_ops._co_purchase_cache.clear()
     except Exception:
         pass
 
@@ -3095,3 +3102,68 @@ def triangle_stats_from_neighbors(
         .first()
     )
     return int(row["_tn_ne"] or 0), int(row["_tn_t3"] or 0) // 3
+
+
+def pair_cooccurrence_stats(
+    du: DataFrame,
+    block_col: str,
+    id_col: str,
+    weight_col: str | None = None,
+    *,
+    dedup: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """(u, v, n_common[, w_sum]) over unordered id pairs sharing at
+    least one ``block_col`` value: ``n_common`` = number of shared
+    blocks (exact int64), ``w_sum`` = Σ ``weight_col`` over the shared
+    blocks (the column must be functionally determined by the block —
+    e.g. a degree-derived Adamic–Adar weight). The O(Σ n_block²) pair
+    fan-out is the exact-count lower bound — every shared-block pair
+    instance must be witnessed once — so this core only removes the
+    AVOIDABLE cost around it: the (block, id) table is deduped and
+    materialized ONCE (eager localCheckpoint) so the self-join's two
+    branches scan the checkpoint instead of re-running the upstream
+    lineage per side (guide §5 — the same lesson as
+    :func:`_materialize_for_probes`), and the pair aggregate runs
+    map-side-partial directly behind the block-keyed join (one
+    exchange of surviving pairs, nothing wider). Callers that need
+    only the distinct pair list select (u, v); callers that need
+    co-occurrence counts or block-weighted sums read them off the
+    same single pass instead of paying the fan-out again.
+
+    ``dedup=False`` asserts the input is already distinct on
+    (block, id); ``materialize=False`` asserts it is already a
+    checkpoint scan (or cheap to rescan)."""
+    cols = [block_col, id_col] + ([weight_col] if weight_col else [])
+    src = du.select(*cols)
+    if dedup:
+        src = src.distinct()
+    if materialize:
+        src = _materialize_for_probes(src)
+    a_cols = [F.col(block_col).alias("_pc_b"), F.col(id_col).alias("u")]
+    if weight_col:
+        a_cols.append(F.col(weight_col).alias("_pc_w"))
+    # explicit-width repartitions (the _jaccard_parts precedent): the
+    # block tables entering the self-join are byte-light, so AQE's
+    # byte-targeted coalescing would squeeze the CPU-heavy pair
+    # fan-out + partial aggregate onto one or two tasks;
+    # REPARTITION_BY_NUM pins the join at defaultParallelism and its
+    # hash distribution satisfies the join requirement (no extra
+    # exchange).
+    par = du.sparkSession.sparkContext.defaultParallelism
+    a = src.select(*a_cols).repartition(par, "_pc_b")
+    b = src.select(
+        F.col(block_col).alias("_pc_b2"), F.col(id_col).alias("v")
+    ).repartition(par, "_pc_b2")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_common")]
+    if weight_col:
+        aggs.append(F.sum("_pc_w").cast("long").alias("w_sum"))
+    return (
+        a.join(
+            b,
+            (F.col("_pc_b") == F.col("_pc_b2"))
+            & (F.col("u") < F.col("v")),
+        )
+        .groupBy("u", "v")
+        .agg(*aggs)
+    )

@@ -228,30 +228,32 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: deduped edge list, customer-keyed self-join (the
     per-customer basket bounds the fan-out — cap or sample
-    super-baskets at web scale), top-k via TakeOrderedAndProject."""
-    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    super-baskets at web scale), top-k via TakeOrderedAndProject.
+    r12: the edge list and the pair fan-out come from the session-
+    memoized co_purchase_graph stage (operators.graph) shared with
+    graph_adamic_adar / graph_modularity — one fan-out pass serves
+    all three."""
+    from hadoop_deliver_spark.operators.graph import co_purchase_graph
+
+    edges, pairs = co_purchase_graph(spark, sf_dir)
     deg = edges.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a = edges.select("c", F.col("p").alias("part_a"))
-    b = edges.select(F.col("c").alias("c_b"), F.col("p").alias("part_b"))
-    cn = (
-        a.join(
-            b,
-            (F.col("c") == F.col("c_b"))
-            & (F.col("part_a") < F.col("part_b")),
+    # the ranking is on (n_common, part ids) alone and the degree
+    # joins are 1:1 (every pair endpoint is in edges), so the top-20
+    # cut commutes below them: TakeOrdered on the pair stage, then
+    # attach degrees to 20 rows (broadcast) instead of shuffling the
+    # full pair table through two joins.
+    cn_top = (
+        pairs.select(
+            F.col("u").alias("part_a"), F.col("v").alias("part_b"), "n_common"
         )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .orderBy(F.desc("n_common"), "part_a", "part_b")
+        .limit(20)
     )
     da = deg.select(F.col("p").alias("part_a"), F.col("d").alias("da"))
     db = deg.select(F.col("p").alias("part_b"), F.col("d").alias("db"))
     return (
-        cn.join(da, "part_a")
+        F.broadcast(cn_top)
+        .join(da, "part_a")
         .join(db, "part_b")
         .withColumn(
             "jaccard",

@@ -177,39 +177,21 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: deduped edge list, one customer-keyed degree
     aggregate joined back, customer-keyed pair self-join (Σ deg(c)²
     work, the item-item CF bound — cap or sample super-baskets at
-    web scale), top-k via TakeOrderedAndProject."""
-    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    cdeg = (
-        edges.groupBy("c")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .filter(F.col("d") >= 2)
-        .select(
-            "c",
-            F.round(F.lit(1e12) / F.log(F.col("d").cast("double")))
-            .cast("long")
-            .alias("w"),
-        )
-    )
-    a = edges.select("c", F.col("p").alias("part_a"))
-    b = edges.select(F.col("c").alias("c_b"), F.col("p").alias("part_b"))
-    aa = (
-        a.join(
-            b,
-            (F.col("c") == F.col("c_b"))
-            & (F.col("part_a") < F.col("part_b")),
-        )
-        .join(cdeg, "c")
-        .groupBy("part_a", "part_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("w").cast("long").alias("aa_scaled"),
-        )
+    web scale), top-k via TakeOrderedAndProject. r12: the edge list,
+    the degree weight attach and the pair fan-out come from the
+    session-memoized co_purchase_graph stage (operators.graph)
+    shared with graph_common_neighbors / graph_modularity — one
+    fan-out pass serves all three (deg(c) ≥ 2 holds for every
+    pair-witnessing customer, so the shared stage's weighted sum IS
+    this query's cdeg inner join)."""
+    from hadoop_deliver_spark.operators.graph import co_purchase_graph
+
+    _, pairs = co_purchase_graph(spark, sf_dir)
+    aa = pairs.select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "n_common",
+        F.col("w_sum").alias("aa_scaled"),
     )
     return (
         aa.orderBy(F.desc("aa_scaled"), "part_a", "part_b")

@@ -106,23 +106,17 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the graph_common_neighbors bound); labels join via the
     broadcast part dimension; one 5-key aggregate; 1-row E broadcast
     (the ts_resample_gapfill pattern)."""
-    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from hadoop_deliver_spark.operators.graph import co_purchase_graph
+
     lbl = tbl(spark, sf_dir, "part").select(
         "p_partkey", F.substring("p_brand", 7, 1).alias("mfgr")
     )
-    ce = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = ce.select("c", F.col("p").alias("u"))
-    b = ce.select(F.col("c").alias("c_b"), F.col("p").alias("v"))
-    pe = (
-        a.join(b, (F.col("c") == F.col("c_b")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
+    # r12: the distinct part-pair projection comes from the session-
+    # memoized co_purchase_graph pair stage (operators.graph) shared
+    # with graph_common_neighbors / graph_adamic_adar — one pair
+    # fan-out serves all three.
+    _, pairs = co_purchase_graph(spark, sf_dir)
+    pe = pairs.select("u", "v")
     lu = lbl.select(
         F.col("p_partkey").alias("u"), F.col("mfgr").alias("gu")
     )

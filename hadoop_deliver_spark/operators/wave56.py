@@ -114,27 +114,14 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented triangle join touches each wedge once (the standard
     sparse-graph enumeration — degree-ordered orientation bounds the
     join fan-out by arboricity); per-node reduces end it."""
-    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pt = (
-        tbl(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#23")
-        .select("p_partkey")
-    )
-    ce = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = ce.select("c", F.col("p").alias("u"))
-    b = ce.select(F.col("c").alias("c_b"), F.col("p").alias("v"))
-    pe = (
-        a.join(b, (F.col("c") == F.col("c_b")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
+    # r12: the Brand#23 co-purchase projection comes from the session-
+    # memoized co_purchase_graph pair stage (operators.graph) shared by
+    # the five Brand#23-scoped graph ops — one pair fan-out per session
+    # (the stage is already checkpointed).
+    from hadoop_deliver_spark.operators.graph import co_purchase_graph
+
+    _, _cp_pairs = co_purchase_graph(spark, sf_dir, brand="Brand#23")
+    pe = _cp_pairs.select("u", "v")
     e1 = pe.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = pe.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = pe.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -207,27 +194,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes of the edge list — the same shuffles a billion-edge
     k-core takes per round; Spark's round-boundary localCheckpoint
     keeps lineage flat (at cluster scale: checkpoint to storage)."""
-    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pt = (
-        tbl(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#23")
-        .select("p_partkey")
-    )
-    ce = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = ce.select("c", F.col("p").alias("u"))
-    b = ce.select(F.col("c").alias("c_b"), F.col("p").alias("v"))
-    edges = (
-        a.join(b, (F.col("c") == F.col("c_b")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
+    # r12: the Brand#23 co-purchase projection comes from the session-
+    # memoized co_purchase_graph pair stage (operators.graph) shared by
+    # the five Brand#23-scoped graph ops — one pair fan-out per session
+    # (the stage is already checkpointed).
+    from hadoop_deliver_spark.operators.graph import co_purchase_graph
+
+    _, _cp_pairs = co_purchase_graph(spark, sf_dir, brand="Brand#23")
+    edges = _cp_pairs.select("u", "v")
     out = []
     prev = (-1, -1)
     for it in range(1, 9):

@@ -82,27 +82,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the customer-keyed projection join, one wedge join
     bounded by Σd² (the graph_common_neighbors bound), exact-degree
     broadcast, TakeOrdered(25)."""
-    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pt = (
-        tbl(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#23")
-        .select("p_partkey")
-    )
-    ce = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = ce.select("c", F.col("p").alias("u"))
-    b = ce.select(F.col("c").alias("c_b"), F.col("p").alias("v"))
-    pe = (
-        a.join(b, (F.col("c") == F.col("c_b")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
+    # r12: the Brand#23 co-purchase projection comes from the session-
+    # memoized co_purchase_graph pair stage (operators.graph) shared by
+    # the five Brand#23-scoped graph ops — one pair fan-out per session
+    # (the stage is already checkpointed).
+    from hadoop_deliver_spark.operators.graph import co_purchase_graph
+
+    _, _cp_pairs = co_purchase_graph(spark, sf_dir, brand="Brand#23")
+    pe = _cp_pairs.select("u", "v")
     adj = pe.unionAll(
         pe.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).toDF("node", "nbr")

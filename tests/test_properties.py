@@ -2321,3 +2321,53 @@ def test_co_membership_paths_agree(spark):
     # fallback path on a refused input still yields the right edges
     fb = api.co_membership_edges(neg, "blk", "nid").collect()
     assert {(r["u"], r["v"]) for r in fb} == {(-1, 3)}
+
+
+def test_pair_cooccurrence_stats_first_principles(spark):
+    """api.pair_cooccurrence_stats (r12: the shared co-purchase pair
+    core) must reproduce first-principles pair counts and
+    block-weighted sums on random messy (block, id[, weight]) tables —
+    duplicate membership rows (dedup=True), singleton blocks,
+    multi-block pairs — and its weighted sum must equal the
+    per-block-weight accumulation the Adamic–Adar consumers rely on."""
+    import itertools
+    import random
+
+    from hadoop_deliver_spark import api
+
+    for seed, n_ids, n_blocks, p_pct in [(5, 18, 7, 40), (11, 40, 5, 20)]:
+        rng = random.Random(seed)
+        rows = []
+        ids = sorted(rng.sample(range(0, n_ids * 3), n_ids))
+        wts = {b: rng.randrange(1, 50) for b in range(n_blocks)}
+        for b in range(n_blocks):
+            for i in ids:
+                if rng.randrange(100) < p_pct:
+                    rows.append((b, i, wts[b]))
+                    if rng.random() < 0.25:  # duplicate membership rows
+                        rows.append((b, i, wts[b]))
+        if not rows:
+            rows = [(0, ids[0], wts[0])]
+        du = spark.createDataFrame(rows, "blk long, nid long, w long")
+
+        members = {}
+        for b, i, _ in rows:
+            members.setdefault(b, set()).add(i)
+        want_n = {}
+        want_w = {}
+        for b, s in members.items():
+            for u, v in itertools.combinations(sorted(s), 2):
+                want_n[(u, v)] = want_n.get((u, v), 0) + 1
+                want_w[(u, v)] = want_w.get((u, v), 0) + wts[b]
+
+        got = api.pair_cooccurrence_stats(du, "blk", "nid", "w").collect()
+        got_n = {(r["u"], r["v"]): r["n_common"] for r in got}
+        got_w = {(r["u"], r["v"]): r["w_sum"] for r in got}
+        assert got_n == want_n
+        assert got_w == want_w
+
+        # unweighted form: same pair set and counts
+        got2 = api.pair_cooccurrence_stats(
+            du.select("blk", "nid"), "blk", "nid"
+        ).collect()
+        assert {(r["u"], r["v"]): r["n_common"] for r in got2} == want_n
