@@ -186,7 +186,7 @@ def minhash_pairs(
 
     >>> minhash_pairs(docs, "doc_id", "text", threshold=0.5)
     """
-    sets, cands = _minhash_parts(
+    sets, cands = _staged_minhash_parts(
         df, id_col, text_col, shingle_k, n_perm, n_bands
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -203,6 +203,50 @@ def minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard"))
     )
+
+
+def _staged_minhash_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    n_perm: int,
+    n_bands: int,
+):
+    """Session-memoized :func:`_minhash_parts` (r12): the banded-LSH
+    candidate stage — 128 min-hash aggregates over the inverted index
+    plus the band self-join — is re-derived identically by every
+    MinHash consumer in a suite run (llm_dedup_minhash,
+    llm_bleu_pairs, llm_rouge_pairs, the near-dup cluster family's
+    label builder, llm_dedup_candidate_stats), so the candidate pair
+    list (near-dup-sized, tiny) is ``localCheckpoint``-ed once per
+    (application, corpus, parameters) under the gram-stage cache's
+    keying/eviction/staleness contract. Returns (sets, cands) exactly
+    like :func:`_minhash_parts`."""
+    spark = df.sparkSession
+    key = (
+        "mhcands",
+        spark.sparkContext.applicationId,
+        df.semanticHash(),
+        str(df.schema),
+        _data_version(df),
+        id_col,
+        text_col,
+        shingle_k,
+        n_perm,
+        n_bands,
+    )
+    hit = _GRAM_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sets, cands = _minhash_parts(
+        df, id_col, text_col, shingle_k, n_perm, n_bands
+    )
+    cands = cands.localCheckpoint(eager=True)
+    _GRAM_STAGE_CACHE[key] = (sets, cands)
+    while len(_GRAM_STAGE_CACHE) > _GRAM_STAGE_CACHE_MAX:
+        _GRAM_STAGE_CACHE.popitem(last=False)
+    return sets, cands
 
 
 def _minhash_parts(
@@ -230,6 +274,12 @@ def _minhash_parts(
     # (dedup, threshold sweep, candidate stats, component labels).
     sets = _staged_shingle_sets(df, id_col, text_col, shingle_k)
     inv = sets.select(id_col, F.explode("shingles").alias("sh"))
+    # (r12 note: a hash-distinct-shingles-then-join variant was
+    # measured SLOWER here — xxhash64 on short strings is cheap
+    # enough that shipping a 128-slot array per posting row through
+    # the aggregate costs more than re-hashing; contrast wave61's
+    # md5-based twin, where the per-instance tower is ~50× pricier
+    # and the distinct-gram table wins.)
     minhash = inv.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
@@ -995,6 +1045,102 @@ def _staged_shingle_sets(
 _BITMAP_REFINE_MAX_WORDS = 1 << 22
 
 
+def _bitmap_arrow_refine(
+    cands: DataFrame,
+    bitmaps: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    n_chunks: int,
+    n_col: str | None = None,
+) -> DataFrame | None:
+    """Arrow-vectorized exact-intersection refine (r12, guide §4.2):
+    the dense :func:`bitmap_sets` table is collected once (bounded by
+    the same :data:`_BITMAP_REFINE_MAX_WORDS` gate that already
+    authorizes broadcasting it), shipped to the Python workers as a
+    NumPy uint64 matrix, and each candidate batch is scored with ONE
+    vectorized ``&`` + SWAR popcount per 64-bit word — replacing the
+    per-row zip_with/aggregate fold, which Spark evaluates
+    interpreted (no codegen for HOF lambdas; measured at sf0.1 the
+    fold was ~5× the cost of the batch path on 5.4M candidates).
+    Returns (a_col, b_col, _ni, _na, _nb) with the EXACT intersection
+    and set sizes — thresholds stay in Spark SQL at the caller, in
+    the same expression form as the other refine paths, so all paths
+    share one arithmetic contract. Returns None when the gate fails:
+    ids must be non-negative integrals whose RANGE (max_id+1) times
+    ``n_chunks`` fits the word budget (a sparse id space past the
+    budget falls back to the join paths). Driver-side state: one
+    bounded collect of the gated bitmap table (≤ 32 MiB of longs) —
+    the same bytes the join path ships as a broadcast relation."""
+    import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        bitmaps.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        return None
+    cols = [id_col, "bm"] + ([n_col] if n_col else [])
+    rows = bitmaps.select(*cols).collect()
+    if rows:
+        lo = min(r[id_col] for r in rows)
+        hi = max(r[id_col] for r in rows)
+        if lo < 0 or (hi + 1) * n_chunks > _BITMAP_REFINE_MAX_WORDS:
+            return None
+        nmax = hi + 1
+    else:
+        nmax = 1
+    mat = np.zeros((nmax, n_chunks), dtype=np.uint64)
+    for r in rows:
+        mat[r[id_col]] = np.array(r["bm"], dtype=np.int64).view(np.uint64)
+    if n_col:
+        sizes = np.zeros(nmax, dtype=np.int64)
+        for r in rows:
+            sizes[r[id_col]] = r[n_col]
+    m5 = np.uint64(0x5555555555555555)
+    m3 = np.uint64(0x3333333333333333)
+    mf = np.uint64(0x0F0F0F0F0F0F0F0F)
+    mm = np.uint64(0x0101010101010101)
+    s1, s2, s4, s56 = (np.uint64(s) for s in (1, 2, 4, 56))
+    if not n_col:
+        # |set| == popcount(bm) by bitmap_sets construction
+        x = mat - ((mat >> s1) & m5)
+        x = (x & m3) + ((x >> s2) & m3)
+        x = (x + (x >> s4)) & mf
+        sizes = ((x * mm) >> s56).sum(axis=1).astype(np.int64)
+    bc = cands.sparkSession.sparkContext.broadcast((mat, sizes))
+
+    def _refine(batches):
+        import pyarrow as pa
+
+        m, nl = bc.value
+        for batch in batches:
+            ia = batch.column(a_col).to_numpy().astype(np.int64)
+            ib = batch.column(b_col).to_numpy().astype(np.int64)
+            x = m[ia] & m[ib]
+            x = x - ((x >> s1) & m5)
+            x = (x & m3) + ((x >> s2) & m3)
+            x = (x + (x >> s4)) & mf
+            ni = ((x * mm) >> s56).sum(axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(a_col),
+                    batch.column(b_col),
+                    pa.array(ni),
+                    pa.array(nl[ia]),
+                    pa.array(nl[ib]),
+                ],
+                names=[a_col, b_col, "_ni", "_na", "_nb"],
+            )
+
+    a_t = cands.schema[a_col].dataType.simpleString()
+    b_t = cands.schema[b_col].dataType.simpleString()
+    return cands.select(a_col, b_col).mapInArrow(
+        _refine,
+        f"{a_col} {a_t}, {b_col} {b_t}, _ni long, _na long, _nb long",
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -1061,28 +1207,49 @@ def jaccard_pairs(
     """
     t = threshold
     grams, inv, gdf, cands = _jaccard_parts(df, id_col, text_col, t, char_k)
-    if refine not in ("auto", "bitmap", "shuffle"):
-        raise ValueError(f"refine must be auto|bitmap|shuffle, got {refine!r}")
-    if refine == "auto":
-        gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
-        max_gid = gid.agg(F.max("_jp_gid")).first()[0]
-        n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-        refine = (
-            "bitmap"
-            if grams.count() * n_chunks <= _BITMAP_REFINE_MAX_WORDS
-            else "shuffle"
+    if refine not in ("auto", "arrow", "bitmap", "shuffle"):
+        raise ValueError(
+            f"refine must be auto|arrow|bitmap|shuffle, got {refine!r}"
         )
-    elif refine == "bitmap":
+    scored = None
+    if refine in ("auto", "arrow", "bitmap"):
         gid = encode_ids(gdf, "_jp_g", out="_jp_gid")
         max_gid = gid.agg(F.max("_jp_gid")).first()[0]
         n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
-    if refine == "bitmap":
+        if refine == "auto":
+            refine = (
+                "arrow"
+                if grams.count() * n_chunks <= _BITMAP_REFINE_MAX_WORDS
+                else "shuffle"
+            )
+    if refine in ("arrow", "bitmap"):
         bitmaps = bitmap_sets(
             inv.join(F.broadcast(gid), "_jp_g"),
             [id_col, "_jp_n"],
             "_jp_gid",
             n_chunks,
         )
+    if refine == "arrow":
+        arrow = _bitmap_arrow_refine(
+            cands,
+            bitmaps.withColumnRenamed(id_col, "_jp_bid"),
+            id_col="_jp_bid",
+            a_col="id_a",
+            b_col="id_b",
+            n_chunks=n_chunks,
+            n_col="_jp_n",
+        )
+        if arrow is not None:
+            scored = arrow.select(
+                "id_a",
+                "id_b",
+                F.col("_ni").alias("_jp_ni"),
+                F.col("_na").alias("na"),
+                F.col("_nb").alias("nb"),
+            )
+        else:
+            refine = "bitmap"  # id-space gate failed: join path
+    if scored is None and refine == "bitmap":
         ba = bitmaps.select(
             F.col(id_col).alias("id_a"),
             F.col("_jp_n").alias("na"),
@@ -1100,7 +1267,7 @@ def jaccard_pairs(
                 "_jp_ni", bitmap_intersect_count("_jp_bm_a", "_jp_bm_b")
             )
         )
-    else:
+    if scored is None:
         ga = grams.select(
             F.col(id_col).alias("id_a"),
             F.size("gs").alias("na"),
@@ -1283,22 +1450,48 @@ def containment_pairs(
     grams, inv, gdf, cands = _containment_parts(
         df, id_col, text_col, t, char_k, max_df_permille=max_df_permille
     )
-    if refine not in ("auto", "bitmap", "shuffle"):
-        raise ValueError(f"refine must be auto|bitmap|shuffle, got {refine!r}")
-    if refine in ("auto", "bitmap"):
+    if refine not in ("auto", "arrow", "bitmap", "shuffle"):
+        raise ValueError(
+            f"refine must be auto|arrow|bitmap|shuffle, got {refine!r}"
+        )
+    sized = None
+    if refine in ("auto", "arrow", "bitmap"):
         gid = encode_ids(gdf, "_cp_g", out="_cp_gid")
         max_gid = gid.agg(F.max("_cp_gid")).first()[0]
         n_chunks = ((max_gid if max_gid is not None else 0) + 64) // 64
         if refine == "auto":
             refine = (
-                "bitmap"
+                "arrow"
                 if grams.count() * n_chunks <= _BITMAP_REFINE_MAX_WORDS
                 else "shuffle"
             )
-    if refine == "bitmap":
+    if refine in ("arrow", "bitmap"):
         bitmaps = bitmap_sets(
             inv.join(F.broadcast(gid), "_cp_g"), id_col, "_cp_gid", n_chunks
         )
+    if refine == "arrow":
+        arrow = _bitmap_arrow_refine(
+            cands,
+            bitmaps.withColumnRenamed(id_col, "_cp_bid"),
+            id_col="_cp_bid",
+            a_col="inner_id",
+            b_col="outer_id",
+            n_chunks=n_chunks,
+        )
+        if arrow is not None:
+            # set sizes ride along from the same bitmap table
+            # (popcount == |gram set| by construction), so the two
+            # 1:1 size joins below are unnecessary on this path
+            sized = arrow.select(
+                "inner_id",
+                "outer_id",
+                F.col("_ni").alias("_cp_ni"),
+                F.col("_na").alias("na"),
+                F.col("_nb").alias("nb"),
+            )
+        else:
+            refine = "bitmap"  # id-space gate failed: join path
+    if sized is None and refine == "bitmap":
         ba = bitmaps.select(
             F.col(id_col).alias("inner_id"), F.col("bm").alias("_cp_bm_a")
         )
@@ -1313,7 +1506,7 @@ def containment_pairs(
             )
             .select("inner_id", "outer_id", "_cp_ni")
         )
-    else:
+    elif sized is None:
         ga = grams.select(
             F.col(id_col).alias("inner_id"), F.col("gs").alias("_cp_gs_a")
         )
@@ -1328,21 +1521,23 @@ def containment_pairs(
             )
             .select("inner_id", "outer_id", "_cp_ni")
         )
-    sizes = grams.select(id_col, F.size("gs").alias("_cp_sz"))
-    return (
-        inter.join(
+    if sized is None:
+        sizes = grams.select(id_col, F.size("gs").alias("_cp_sz"))
+        sized = inter.join(
             sizes.select(
                 F.col(id_col).alias("inner_id"), F.col("_cp_sz").alias("na")
             ),
             "inner_id",
-        )
-        .join(
+        ).join(
             sizes.select(
                 F.col(id_col).alias("outer_id"), F.col("_cp_sz").alias("nb")
             ),
             "outer_id",
         )
-        .withColumn("_cp_r", F.col("_cp_ni").cast("double") / F.col("na"))
+    return (
+        sized.withColumn(
+            "_cp_r", F.col("_cp_ni").cast("double") / F.col("na")
+        )
         .withColumn("containment", F.col("_cp_r").cast("float"))
         .where(
             (F.col("_cp_r") >= t)
@@ -1822,7 +2017,7 @@ def simhash_pairs(
 
     >>> simhash_pairs(docs, "pk", "body", hamming_max=6)
     """
-    cands = _simhash_parts(df, id_col, text_col, n_bands)
+    cands = _staged_simhash_parts(df, id_col, text_col, n_bands)
     return (
         cands.withColumn(
             "hamming",
@@ -1831,6 +2026,38 @@ def simhash_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _staged_simhash_parts(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int
+) -> DataFrame:
+    """Session-memoized :func:`_simhash_parts` (r12): the 64-bit-vote
+    fingerprint build + band self-join re-runs identically for
+    llm_dedup_simhash and llm_dedup_candidate_stats; the candidate
+    pair list (near-dup-sized) is ``localCheckpoint``-ed once per
+    (application, corpus, n_bands) under the gram-stage cache's
+    keying/eviction/staleness contract."""
+    spark = df.sparkSession
+    key = (
+        "shcands",
+        spark.sparkContext.applicationId,
+        df.semanticHash(),
+        str(df.schema),
+        _data_version(df),
+        id_col,
+        text_col,
+        n_bands,
+    )
+    hit = _GRAM_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cands = _simhash_parts(df, id_col, text_col, n_bands).localCheckpoint(
+        eager=True
+    )
+    _GRAM_STAGE_CACHE[key] = cands
+    while len(_GRAM_STAGE_CACHE) > _GRAM_STAGE_CACHE_MAX:
+        _GRAM_STAGE_CACHE.popitem(last=False)
+    return cands
 
 
 def _simhash_parts(
@@ -1970,6 +2197,40 @@ def _principal_directions(base: DataFrame, k: int):
     M = flat.reshape(d, d)
     w, U = np.linalg.eigh(M)
     return np.ascontiguousarray(U[:, ::-1][:, : min(k, d)].T)
+
+
+def _staged_cosine_parts(
+    df: DataFrame, id_col: str, vec_col: str, tau: float, k: int = 16
+):
+    """Session-memoized :func:`_cosine_parts` (r12): the normalized
+    base checkpoint, the principal-direction moment pass and the
+    grid + Bessel candidate join re-run identically for
+    llm_dedup_embedding / llm_semdedup-style consumers and
+    llm_dedup_candidate_stats; the surviving candidate id pairs
+    (near-dup-sized) are ``localCheckpoint``-ed once per
+    (application, embedding plan, tau, k) under the gram-stage
+    cache's keying/eviction/staleness contract."""
+    spark = df.sparkSession
+    key = (
+        "coscands",
+        spark.sparkContext.applicationId,
+        df.semanticHash(),
+        str(df.schema),
+        _data_version(df),
+        id_col,
+        vec_col,
+        tau,
+        k,
+    )
+    hit = _GRAM_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base, cands = _cosine_parts(df, id_col, vec_col, tau, k)
+    cands = cands.localCheckpoint(eager=True)
+    _GRAM_STAGE_CACHE[key] = (base, cands)
+    while len(_GRAM_STAGE_CACHE) > _GRAM_STAGE_CACHE_MAX:
+        _GRAM_STAGE_CACHE.popitem(last=False)
+    return base, cands
 
 
 def _cosine_parts(
@@ -2115,7 +2376,7 @@ def cosine_pairs(
 
     >>> cosine_pairs(emb, "vec_id", "embedding_f64", tau=0.9)
     """
-    base, cands = _cosine_parts(df, id_col, vec_col, tau, k)
+    base, cands = _staged_cosine_parts(df, id_col, vec_col, tau, k)
     va = base.select(
         F.col("_cp_id").alias("id_a"),
         F.col("_cp_e").alias("ea"),

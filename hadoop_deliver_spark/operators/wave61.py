@@ -484,31 +484,50 @@ def llm_minhash_estimate_quality(
     )
     sets = d.select("doc_id", sh.alias("sh")).localCheckpoint()
     inv = sets.select("doc_id", F.explode("sh").alias("g"))
-    perms = inv.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.lit(p) for p in range(_MH_PERMS)])
-        ).alias("p"),
-        "g",
+    # r12 (guide §2.3/§4): hash each DISTINCT shingle once per
+    # permutation instead of per (doc, perm, instance) — the fixture
+    # carries ~10× more shingle instances than distinct shingles, so
+    # the 32 md5 towers ran 10× too often; the hash table (vocab × 32
+    # int64) broadcasts and the per-doc signature becomes 32 parallel
+    # min-aggregates over ONE pass of the inverted index. Hash values
+    # are byte-identical to the per-instance form (same md5 input), so
+    # the oracle and the result are unchanged.
+    gh = (
+        inv.select("g")
+        .distinct()
+        .select(
+            "g",
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{p}|"), F.col("g"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    for p in range(_MH_PERMS)
+                ]
+            ).alias("hs"),
+        )
     )
-    sig = perms.groupBy("doc_id", "p").agg(
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("p").cast("string"),
-                            F.lit("|"),
-                            F.col("g"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias("mh")
+    sigw = (
+        inv.join(F.broadcast(gh), "g")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.element_at("hs", p + 1)).alias(f"m{p}")
+                for p in range(_MH_PERMS)
+            ]
+        )
+    )
+    sig = sigw.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{p}") for p in range(_MH_PERMS)])
+        ).alias("p", "mh"),
     )
     sa = sets.toDF("da", "sh_a").filter(F.size("sh_a") > 0)
     sb = sets.toDF("db", "sh_b").filter(F.size("sh_b") > 0)

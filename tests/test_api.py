@@ -290,7 +290,7 @@ def test_bitmap_sets_intersect_count_matches_set_intersection(spark):
             assert got[(ka, kb)] == len(sets[ka] & sets[kb])
 
 
-@pytest.mark.parametrize("refine", ["auto", "bitmap", "shuffle"])
+@pytest.mark.parametrize("refine", ["auto", "arrow", "bitmap", "shuffle"])
 def test_jaccard_pairs_exact_on_custom_columns(spark, refine):
     base = "abcdefghijklmnopqrstuvwxyz0123456789"
     near = base[:-2] + "xy"  # high 5-gram overlap
@@ -312,7 +312,7 @@ def test_jaccard_pairs_exact_on_custom_columns(spark, refine):
     assert math.isclose(got[0].jaccard, inter / union, rel_tol=1e-6)
 
 
-@pytest.mark.parametrize("refine", ["auto", "bitmap", "shuffle"])
+@pytest.mark.parametrize("refine", ["auto", "arrow", "bitmap", "shuffle"])
 def test_containment_pairs_finds_embedded_doc(spark, refine):
     long_doc = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"
     short_doc = long_doc[5:25]  # wholly embedded substring

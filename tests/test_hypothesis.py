@@ -596,7 +596,7 @@ def test_triangle_count_equals_bruteforce_on_random_graphs(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     n_docs=st.integers(min_value=1, max_value=14),
     t=st.sampled_from([0.3, 0.55, 0.8]),
-    refine=st.sampled_from(["bitmap", "shuffle"]),
+    refine=st.sampled_from(["arrow", "bitmap", "shuffle"]),
 )
 def test_jaccard_pairs_equals_bruteforce_on_random_texts(
     spark, seed, n_docs, t, refine
@@ -649,7 +649,7 @@ def test_jaccard_pairs_equals_bruteforce_on_random_texts(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     n_docs=st.integers(min_value=1, max_value=12),
     t=st.sampled_from([0.6, 0.85, 1.0]),
-    refine=st.sampled_from(["bitmap", "shuffle"]),
+    refine=st.sampled_from(["arrow", "bitmap", "shuffle"]),
 )
 def test_containment_pairs_equals_bruteforce_on_random_texts(
     spark, seed, n_docs, t, refine

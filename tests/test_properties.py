@@ -1810,6 +1810,11 @@ _COLLECT_OK = {
     ("api.py", "jaccard_pairs"),
     ("api.py", "containment_pairs"),
     ("api.py", "triangle_count"),
+    # bounded bitmap-table collect for the Arrow refine (r12): gated
+    # by the SAME _BITMAP_REFINE_MAX_WORDS budget that authorizes
+    # broadcasting it on the join path — ≤ 32 MiB of longs, shipped
+    # once to the Python workers as the NumPy intersect matrix
+    ("api.py", "_bitmap_arrow_refine"),
     # 1-row .first() scalar probes: id-range/block-count gate and
     # bitmap width for the co-membership neighbor-bitmap core
     ("api.py", "_co_membership_gate"),
