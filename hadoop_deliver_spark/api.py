@@ -652,6 +652,53 @@ def exact_global_keyed_cumsum(
     return blocked.withColumn(out_col, cum).drop(blk)
 
 
+def exact_global_keyed_cumsum_multi(
+    df: DataFrame,
+    order_col: str,
+    value_cols: "Sequence[str]",
+    key_col: str,
+    out_cols: "Sequence[str]",
+    nblocks: int = 32,
+) -> DataFrame:
+    """N exact running sums over the SAME (order_col, key_col) axis in
+    ONE block-ranked pass (r12) — the chained form
+    ``exact_global_keyed_cumsum(...cum1); exact_global_keyed_cumsum(
+    ...cum2); …`` re-materialized its input and re-ran the split
+    probe, the per-block sum collect and the window PER MEASURE
+    (agg_energy_distance chained four: four checkpoints, eight probe
+    jobs, four windows). Here: one materialize, one split probe, one
+    per-block sum collect covering every measure, one window pass
+    emitting all N columns. Result columns are bit-identical to the
+    chained form — the block assignment only balances work (the
+    running sums are exact at ANY blocking), and the window order
+    (order_col, key_col) is the same total order."""
+    assert len(value_cols) == len(out_cols) and value_cols
+    df = _materialize_for_probes(df)
+    splits = _approx_splits(df, order_col, nblocks)
+    split_arr = _split_arr(splits)
+    blk = f"_blk_{out_cols[0]}"
+    blocked = df.withColumn(
+        blk, F.size(F.filter(split_arr, lambda s: s < F.col(order_col)))
+    )
+    rows = blocked.groupBy(blk).agg(
+        *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
+    ).collect()
+    w = (
+        Window.partitionBy(blk)
+        .orderBy(F.col(order_col), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = blocked
+    for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+        sums = {r[blk]: r[f"_s{i}"] for r in rows}
+        offsets = {b: sum(s for bb, s in sums.items() if bb < b) for b in sums}
+        off_map = _offset_map(offsets)
+        out = out.withColumn(
+            o, (F.sum(v).over(w) + off_map[F.col(blk)]).cast("long")
+        )
+    return out.drop(blk)
+
+
 def _stratified_offsets(
     blocked: DataFrame, key_col: str, blk: str, measure
 ) -> Column:

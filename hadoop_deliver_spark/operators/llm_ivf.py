@@ -35,6 +35,29 @@ def _ivf_params(n: int) -> tuple[int, int]:
     return k, max(2, round(0.4 * k))
 
 
+#: session memo of the finished IVF top-3 search (r12): llm_sim_ivf
+#: and llm_sim_ivf_recall each trained the k-means quantizer and ran
+#: the probe search from scratch (~5s duplicated at sf0.1). The
+#: search result is tiny (3 rows per probe) and fully deterministic
+#: within a session (seeded trainer, fixed fixture), so it is
+#: checkpointed once per (application, sf_dir) — the operators.graph
+#: co_purchase_graph / llm_text._cc_cache precedent, same
+#: within-application fixture-immutability contract.
+_ivf_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ivf_cache.get(key)
+    if hit is not None:
+        return hit
+    out = _ivf_top3_build(spark, sf_dir).localCheckpoint(eager=True)
+    _ivf_cache[key] = out
+    while len(_ivf_cache) > 4:
+        _ivf_cache.pop(next(iter(_ivf_cache)))
+    return out
+
+
 @register("llm_sim_ivf", None)  # rows-only: centroids are trainer-specific
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: SPHERICAL k-means coarse quantizer (k ≈ √N, fixed
@@ -50,6 +73,15 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.70 at sf0.001/0.01/0.1). The scale story is the shape: search
     cost drops from |table| to nprobe·|cell| per probe, and the cell
     id is a shuffle key any cluster can partition on."""
+    return _ivf_top3(spark, sf_dir).orderBy(
+        "probe_id", F.col("cos").desc(), "neighbor_id"
+    )
+
+
+def _ivf_top3_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual quantizer training + probe search behind
+    :func:`llm_sim_ivf` (see its docstring); factored out so the
+    session memo above can checkpoint the finished search once."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -122,7 +154,6 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("probe_id", "neighbor_id", "cos")
-        .orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
     )
 
 
@@ -158,7 +189,7 @@ def llm_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("probe_id", "neighbor_id")
     )
-    got = llm_sim_ivf(spark, sf_dir).select(
+    got = _ivf_top3(spark, sf_dir).select(
         "probe_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     k, nprobe = _ivf_params(tbl(spark, sf_dir, "embeddings").count())

@@ -100,7 +100,7 @@ def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one 2-count grid reduce, two block-ranked cumsums +
     one block-ranked rank, a shuffle equi-join on rank, one reduce."""
     from hadoop_deliver_spark.api import (
-        exact_global_keyed_cumsum,
+        exact_global_keyed_cumsum_multi,
         exact_global_rank,
     )
 
@@ -123,8 +123,11 @@ def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c1") * F.col("cents")).cast("long").alias("s1"),
         F.sum(F.col("c2") * F.col("cents")).cast("long").alias("s2"),
     )
-    cdf = exact_global_keyed_cumsum(grid, "cents", "c1", "cents", "cum1")
-    cdf = exact_global_keyed_cumsum(cdf, "cents", "c2", "cents", "cum2")
+    # r12: both running sums share the (cents, cents) axis — one
+    # multi-measure block-ranked pass (see agg_energy_distance).
+    cdf = exact_global_keyed_cumsum_multi(
+        grid, "cents", ["c1", "c2"], "cents", ["cum1", "cum2"]
+    )
     ranked = exact_global_rank(cdf, "cents", "cents", "r")
     nxt = ranked.select(
         (F.col("r") - 1).alias("r"), F.col("cents").alias("next_cents")
@@ -207,7 +210,7 @@ def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one 2-count grid reduce, four block-ranked cumsums
     on the same grid, one reduce. No pairwise join anywhere."""
-    from hadoop_deliver_spark.api import exact_global_keyed_cumsum
+    from hadoop_deliver_spark.api import exact_global_keyed_cumsum_multi
 
     o = tbl(spark, sf_dir, "orders")
     v = o.select(
@@ -231,10 +234,17 @@ def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v1").cast("long").alias("s1"),
         F.sum("v2").cast("long").alias("s2"),
     )
-    cdf = exact_global_keyed_cumsum(grid, "cents", "c1", "cents", "cum1")
-    cdf = exact_global_keyed_cumsum(cdf, "cents", "c2", "cents", "cum2")
-    cdf = exact_global_keyed_cumsum(cdf, "cents", "v1", "cents", "scum1")
-    cdf = exact_global_keyed_cumsum(cdf, "cents", "v2", "cents", "scum2")
+    # r12: all four running sums share the (cents, cents) axis — one
+    # multi-measure block-ranked pass replaces the four chained cores
+    # (one materialize + one split probe + one window instead of four
+    # of each); results bit-identical (exact sums at any blocking).
+    cdf = exact_global_keyed_cumsum_multi(
+        grid,
+        "cents",
+        ["c1", "c2", "v1", "v2"],
+        "cents",
+        ["cum1", "cum2", "scum1", "scum2"],
+    )
     j = cdf.crossJoin(F.broadcast(n))
 
     def _sum_absdiff(c_col: str, cum: str, scum: str, ntot: str, stot: str):

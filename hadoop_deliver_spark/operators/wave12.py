@@ -79,9 +79,13 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_deliver_spark import api
 
     d = tbl(spark, sf_dir, "documents")
+    # r12: materialize the fingerprint stage once — the pair self-join
+    # below otherwise re-runs the per-position md5 towers and window
+    # minima on BOTH sides (measured 2× ~3.3s at sf0.1; the join
+    # itself is ~1s).
     fp = api.winnow_fingerprints(
         d, "doc_id", "text", gram_k=_WK, window_w=_WW
-    )
+    ).localCheckpoint(eager=True)
     x = fp.select(F.col("doc_id").alias("doc_a"), "f")
     y = fp.select(F.col("doc_id").alias("doc_b"), "f")
     return (

@@ -104,8 +104,10 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(~F.col("urg")).alias("cb"),
         )
     )
-    cum = api.exact_global_keyed_cumsum(byval, "cents", "ca", "cents", "cum_a")
-    cum = api.exact_global_keyed_cumsum(cum, "cents", "cb", "cents", "cum_b")
+    # r12: one multi-measure block-ranked pass for both CDFs
+    cum = api.exact_global_keyed_cumsum_multi(
+        byval, "cents", ["ca", "cb"], "cents", ["cum_a", "cum_b"]
+    )
     tot = byval.agg(
         F.sum("ca").cast("long").alias("n1"),
         F.sum("cb").cast("long").alias("n2"),

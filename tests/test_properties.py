@@ -1777,6 +1777,7 @@ _COLLECT_OK = {
     ("api.py", "exact_global_ntile"),
     ("api.py", "exact_global_cumsum_desc"),
     ("api.py", "exact_global_keyed_cumsum"),
+    ("api.py", "exact_global_keyed_cumsum_multi"),
     ("api.py", "exact_global_rank"),
     # |strata|·nblocks offset rows (stratified block-ranked cores)
     ("api.py", "_stratified_offsets"),
