@@ -1011,6 +1011,12 @@ def clear_stage_caches() -> None:
         _graph_ops._co_purchase_cache.clear()
     except Exception:
         pass
+    try:
+        from hadoop_deliver_spark.operators import llm_ivf as _ivf_ops
+
+        _ivf_ops._ivf_cache.clear()
+    except Exception:
+        pass
 
 
 def _staged_gram_sets(

@@ -249,9 +249,12 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 8 steps as chained CTEs. ``is_top`` flags the argmax
     state by pure integer compare.
 
-    Scale shape: per-user lag to build edges (keyed window), then K
-    broadcast-joined power steps over the 5-node state vector — the
-    Pregel-as-dataframe shape; node state never leaves the cluster."""
+    Scale shape: per-user lag to build edges (keyed window), one
+    keyed reduce to the ≤|event_type|² transition cells, then the
+    K power steps run driver-side over that DOMAIN-bounded table in
+    exact integers (r12 — the events_markov_reach 25-cell device);
+    for a state domain that grows with the data, use the
+    broadcast/partitioned-join loop (graph_pagerank_users)."""
     from pyspark.sql import Window
 
     e = tbl(spark, sf_dir, "events")
@@ -268,24 +271,28 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(
         F.sum("w").cast("long").alias("wtot")
     )
-    ew = edges.join(outdeg, "src")
+    # r12: the transition table is DOMAIN-bounded (≤ |event_type|² ≤ 25
+    # cells after the keyed reduce — the events_markov_reach device),
+    # so the K=8 power steps run driver-side in exact Python integers
+    # (identical floor-div arithmetic, identical per-dst integer sums);
+    # only the per-user lag/edge reduce touches the event stream. The
+    # pre-r12 broadcast-join loop shape remains the right form the
+    # moment the state domain grows with the data — see
+    # graph_pagerank_users for that contract.
+    _ed = edges.join(outdeg, "src").collect()
     nodes = e.select(F.col("event_type").alias("node")).distinct()
-    n_nodes = nodes.count()
-    pi = nodes.select(
-        "node", F.lit(_SCALE // n_nodes).cast("long").alias("mass")
-    )
+    _nodes = [r["node"] for r in nodes.collect()]
+    n_nodes = len(_nodes)
+    _mass = {nd: _SCALE // n_nodes for nd in _nodes}
     for _ in range(_K_POWER):
-        pi = (
-            ew.join(F.broadcast(pi), ew.src == pi.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(mass * w) div wtot").alias("part"),
-            )
-            .groupBy("node")
-            .agg(F.sum("part").cast("long").alias("mass"))
-        )
-    final = nodes.join(pi, "node", "left").select(
-        "node", F.coalesce("mass", F.lit(0)).cast("long").alias("mass")
+        _nxt = {}
+        for r in _ed:
+            part = (_mass.get(r["src"], 0) * r["w"]) // r["wtot"]
+            _nxt[r["dst"]] = _nxt.get(r["dst"], 0) + part
+        _mass = _nxt
+    final = spark.createDataFrame(
+        [(nd, _mass.get(nd, 0)) for nd in sorted(_nodes)],
+        "node string, mass long",
     )
     top = final.agg(F.max("mass").alias("mx"))
     return (

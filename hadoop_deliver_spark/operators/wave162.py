@@ -32,6 +32,71 @@ from hadoop_deliver_spark.registry import register
 from hadoop_deliver_spark.tables import tbl
 
 
+
+
+def _pb_slope_distributed(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Past-gate distributed Passing–Bablok slope: the spread pairwise
+    NLJ + block-ranked offset-rank selection (the pre-r12 in-cluster
+    formulation, kept verbatim as the fallback for histories past the
+    bounded-driver gate)."""
+    from hadoop_deliver_spark import api
+
+    a = api.spread_bounded(
+
+        d.select(
+            F.col("dn").alias("i"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+        )
+    )
+    b2 = d.select(
+        F.col("dn").alias("j"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    sexpr = (F.col("yb") - F.col("ya")).cast("double") / (
+        F.col("xb") - F.col("xa")
+    )
+    sl = (
+        a.join(F.broadcast(b2), F.col("i") < F.col("j"))
+        .filter(F.col("xa") != F.col("xb"))
+        .select(
+            sexpr.alias("s"),
+            (F.col("i") * 100000 + F.col("j")).alias("key"),
+        )
+        .filter(F.col("s") != -1.0)
+        # evaluate the O(days²) pair table ONCE: the count reduce, the
+        # block-ranked splits, and the three rank probes all reuse this
+        # materialization (the ts_qn_scale checkpoint device) instead
+        # of re-running the pairwise join per consumer
+        .localCheckpoint()
+    )
+    cnt = sl.agg(
+        F.count(F.lit(1)).cast("long").alias("nsl"),
+        F.sum(F.when(F.col("s") < -1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    rk = api.exact_global_rank(sl, "s", "key", "r")
+    j = rk.crossJoin(F.broadcast(cnt))
+    lo_r = F.expr("nsl div 2") + F.col("k")
+    hi_r = F.expr("nsl div 2") + 1 + F.col("k")
+    odd_r = F.expr("(nsl + 1) div 2") + F.col("k")
+    s_at = lambda r: F.max(F.when(F.col("r") == r, F.col("s")))  # noqa: E731
+    b = j.groupBy("nsl", "k").agg(
+        F.when(F.col("nsl") % 2 == 1, s_at(odd_r))
+        .otherwise(
+            F.when(
+                s_at(lo_r) * s_at(hi_r) > 0,
+                F.signum(s_at(lo_r)) * F.sqrt(s_at(lo_r) * s_at(hi_r)),
+            ).otherwise((s_at(lo_r) + s_at(hi_r)) / 2)
+        )
+        .alias("slope")
+    )
+    # 1-row slope frame: checkpoint so the intercept stage's rank scan
+    # and final reduce do not re-run the 2.9M-row slope ranking
+    b = b.localCheckpoint()
+    return b
+
+
 @register(
     "ts_passing_bablok",
     """
@@ -152,62 +217,56 @@ def ts_passing_bablok(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ox.join(oy, "day").select(
         F.datediff("day", F.lit("1990-01-01")).alias("dn"), "x", "y"
     )
-    # r12 (guide §2.5/§2.6): spread the streamed side of the pairwise
-    # NLJ across the session cores and pin the broadcast side — the
-    # AQE-coalesced single-partition daily table otherwise serializes
-    # the O(days²) slope fan-out and the rank probes behind one task.
-    a = api.spread_bounded(
-        d.select(
-            F.col("dn").alias("i"),
-            F.col("x").alias("xa"),
-            F.col("y").alias("ya"),
-        )
-    )
-    b2 = d.select(
-        F.col("dn").alias("j"), F.col("x").alias("xb"), F.col("y").alias("yb")
-    )
-    sexpr = (F.col("yb") - F.col("ya")).cast("double") / (
-        F.col("xb") - F.col("xa")
-    )
-    sl = (
-        a.join(F.broadcast(b2), F.col("i") < F.col("j"))
-        .filter(F.col("xa") != F.col("xb"))
-        .select(
-            sexpr.alias("s"),
-            (F.col("i") * 100000 + F.col("j")).alias("key"),
-        )
-        .filter(F.col("s") != -1.0)
-        # evaluate the O(days²) pair table ONCE: the count reduce, the
-        # block-ranked splits, and the three rank probes all reuse this
-        # materialization (the ts_qn_scale checkpoint device) instead
-        # of re-running the pairwise join per consumer
-        .localCheckpoint()
-    )
-    cnt = sl.agg(
-        F.count(F.lit(1)).cast("long").alias("nsl"),
-        F.sum(F.when(F.col("s") < -1.0, 1).otherwise(0))
-        .cast("long")
-        .alias("k"),
-    )
-    rk = api.exact_global_rank(sl, "s", "key", "r")
-    j = rk.crossJoin(F.broadcast(cnt))
-    lo_r = F.expr("nsl div 2") + F.col("k")
-    hi_r = F.expr("nsl div 2") + 1 + F.col("k")
-    odd_r = F.expr("(nsl + 1) div 2") + F.col("k")
-    s_at = lambda r: F.max(F.when(F.col("r") == r, F.col("s")))  # noqa: E731
-    b = j.groupBy("nsl", "k").agg(
-        F.when(F.col("nsl") % 2 == 1, s_at(odd_r))
-        .otherwise(
-            F.when(
-                s_at(lo_r) * s_at(hi_r) > 0,
-                F.signum(s_at(lo_r)) * F.sqrt(s_at(lo_r) * s_at(hi_r)),
-            ).otherwise((s_at(lo_r) + s_at(hi_r)) / 2)
-        )
-        .alias("slope")
-    )
-    # 1-row slope frame: checkpoint so the intercept stage's rank scan
-    # and final reduce do not re-run the 2.9M-row slope ranking
-    b = b.localCheckpoint()
+    # r12 (second pass): the joined daily series is CALENDAR-BOUNDED
+    # (one row per day at any corpus scale), so the O(days²) slope
+    # fan-out and the three offset-rank probes are a bounded DRIVER
+    # computation (the agg_hl_shift_2sample device): collect the
+    # series once, replicate the EXACT slope/filter/offset-median
+    # arithmetic in NumPy (same IEEE doubles: (yb−ya)/(xb−xa) in
+    # float64, s = −1 excluded, k = #{s < −1}, rank picks on the
+    # ascending sort, signed-geometric-mean even-case), and feed the
+    # 1-row slope frame to the unchanged intercept stage. The
+    # distributed pair join below stays as the past-gate fallback and
+    # the formulation of record.
+    _drows = d.collect()
+    b = None
+    if 0 < len(_drows) <= 4096:
+        import math
+
+        import numpy as np
+
+        _x = np.asarray([r["x"] for r in _drows], dtype=np.int64)
+        _y = np.asarray([r["y"] for r in _drows], dtype=np.int64)
+        _i, _j = np.triu_indices(len(_drows), 1)
+        _m = _x[_i] != _x[_j]
+        _s = (_y[_j][_m] - _y[_i][_m]).astype(np.float64) / (
+            _x[_j][_m] - _x[_i][_m]
+        ).astype(np.float64)
+        _s = _s[_s != -1.0]
+        _nsl = int(_s.size)
+        _k = int((_s < -1.0).sum())
+        _s.sort()
+        _slope = None
+        if _nsl % 2 == 1:
+            _r = (_nsl + 1) // 2 + _k
+            if 1 <= _r <= _nsl:
+                _slope = float(_s[_r - 1])
+        else:
+            _rl, _rh = _nsl // 2 + _k, _nsl // 2 + 1 + _k
+            if 1 <= _rl and _rh <= _nsl:
+                _lo, _hi = float(_s[_rl - 1]), float(_s[_rh - 1])
+                if _lo * _hi > 0:
+                    _slope = math.copysign(1.0, _lo) * math.sqrt(
+                        _lo * _hi
+                    )
+                else:
+                    _slope = (_lo + _hi) / 2
+        if _slope is not None:
+            b = spark.createDataFrame(
+                [(_nsl, _k, _slope)], "nsl long, k long, slope double"
+            )
+    if b is None:
+        b = _pb_slope_distributed(spark, d)
     ik = d.crossJoin(F.broadcast(b)).select(
         "dn",
         (F.col("y") - F.col("slope") * F.col("x")).alias("resid"),

@@ -124,6 +124,34 @@ def agg_hl_shift_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, a distinct-value reduce, a block-ranked cumsum, a
     1-row reduce."""
     daily = _daily_2sample(spark, sf_dir)
+    # r12 (second pass): the two samples are CALENDAR-BOUNDED daily
+    # series (≤2.4k rows each at ANY corpus scale — the cross-join
+    # allowlist argument this operator has carried since it landed),
+    # so the ≤6M-pair fan-out is a bounded DRIVER computation, the
+    # events_markov_reach / events_kleinberg_bursts device: collect
+    # the two series once, rank the differences in NumPy, return the
+    # same exact-integer order statistics. The distributed pair join
+    # below stays as the past-gate fallback and the formulation of
+    # record.
+    _rows = daily.select("smp", "cents").collect()
+    _ca = [r["cents"] for r in _rows if r["smp"] == 1]
+    _cb = [r["cents"] for r in _rows if r["smp"] == 2]
+    if _ca and _cb and len(_ca) + len(_cb) <= 8192:
+        import numpy as np
+
+        _d = (
+            np.asarray(_ca, dtype=np.int64)[:, None]
+            - np.asarray(_cb, dtype=np.int64)[None, :]
+        ).ravel()
+        _d.sort()
+        _t = int(_d.size)
+        _p1, _p2 = (_t + 1) // 2, (_t + 2) // 2
+        _hl2 = int(_d[_p1 - 1]) + int(_d[_p2 - 1])
+        return spark.createDataFrame(
+            [(_t, _hl2, _hl2 / 2.0, _hl2 > 0)],
+            "n_pairs long, hl2 long, hl_shift_cents double, "
+            "urgent_shifted_up boolean",
+        )
     a = daily.filter(F.col("smp") == 1).select(
         F.col("cents").alias("ca")
     )

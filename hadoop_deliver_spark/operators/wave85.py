@@ -270,44 +270,32 @@ def graph_harmonic_centrality(
         .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
     )
-    nodes = und.select(F.col("u").alias("node")).distinct()
-    d1 = und
-    seen = d1
-
-    def _next_layer(prev: DataFrame, seen: DataFrame) -> DataFrame:
-        step = (
-            prev.alias("a")
-            .join(d1.alias("b"), F.col("a.v") == F.col("b.u"))
-            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-            .join(seen, ["u", "v"], "left_anti")
-        )
-        return step
-
-    d2 = _next_layer(d1, seen)
-    seen = seen.unionAll(d2)
-    d3 = _next_layer(d2, seen)
-    seen = seen.unionAll(d3)
-    d4 = _next_layer(d3, seen)
-
-    def _cnt(layer: DataFrame, name: str) -> DataFrame:
-        return layer.groupBy(F.col("u").alias("node")).agg(
-            F.count(F.lit(1)).cast("long").alias(name)
-        )
-
-    cnt = (
-        nodes.join(F.broadcast(_cnt(d1, "c1")), "node", "left")
-        .join(F.broadcast(_cnt(d2, "c2")), "node", "left")
-        .join(F.broadcast(_cnt(d3, "c3")), "node", "left")
-        .join(F.broadcast(_cnt(d4, "c4")), "node", "left")
-        .select(
-            "node",
-            *[
-                F.coalesce(F.col(c), F.lit(0)).alias(c)
-                for c in ("c1", "c2", "c3", "c4")
-            ],
-        )
+    # r12: the undirected type graph is DOMAIN-bounded (≤|event_type|²
+    # ≤ 25 distinct pairs after the keyed reduce), so the 4-layer BFS
+    # runs driver-side over one bounded collect (the
+    # events_markov_reach device) instead of ten tiny join/distinct/
+    # anti-join jobs; only the per-user lag reduce touches the events.
+    _und = {(r["u"], r["v"]) for r in und.collect()}
+    _nodes = sorted({u for u, _ in _und})
+    _adj = {}
+    for u, v in _und:
+        _adj.setdefault(u, set()).add(v)
+    _layers = {nd: {} for nd in _nodes}
+    for nd in _nodes:
+        seen = {nd}
+        frontier = _adj.get(nd, set()) - seen
+        for depth in (1, 2, 3, 4):
+            _layers[nd][depth] = len(frontier)
+            seen |= frontier
+            frontier = {
+                w for x in frontier for w in _adj.get(x, set())
+            } - seen
+    cnt = spark.createDataFrame(
+        [
+            (nd,) + tuple(_layers[nd][k] for k in (1, 2, 3, 4))
+            for nd in _nodes
+        ],
+        "node string, c1 long, c2 long, c3 long, c4 long",
     )
     h = cnt.select(
         "node",

@@ -149,22 +149,46 @@ def ts_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_days = daily.count()
     h = n_days // 2 + 1
     k = h * (h - 1) // 2
-    # localCheckpoint: the block-ranked core evaluates its input
-    # three times (split probe, block sizes, final pass) — without
-    # the checkpoint each pass would recompute the O(days²) pairwise
-    # self-join; the (d, count) table it pins is far smaller than the
-    # pair table (distinct differences only).
-    byd = (
-        pairs.groupBy("d")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    cdf = exact_global_keyed_cumsum(byd, "d", "c", "d", "cum")
-    sel = (
-        cdf.filter(F.col("cum") >= k)
-        .agg(F.min("d").cast("long").alias("q"))
-        .select(F.lit(n_days).cast("long").alias("n"), "q")
-    )
+    # r12 (second pass): the daily series is CALENDAR-BOUNDED (one row
+    # per day at any corpus scale), so the O(days²) absolute-difference
+    # fan-out is a bounded DRIVER computation (the agg_hl_shift_2sample
+    # device): collect the series once, select the exact k-th order
+    # statistic in NumPy (identical integer-rank semantics: sorted
+    # ascending, element k). The distributed pair join below stays as
+    # the past-gate fallback and the formulation of record.
+    if 0 < n_days <= 4096:
+        import numpy as np
+
+        _y = np.asarray(
+            [r["y"] for r in daily.select("y").collect()], dtype=np.int64
+        )
+        _iu = np.triu_indices(n_days, 1)
+        _d = np.abs(_y[:, None] - _y[None, :])[_iu]
+        _q = (
+            int(np.partition(_d, k - 1)[k - 1])
+            if 1 <= k <= _d.size
+            else None
+        )
+        sel = spark.createDataFrame(
+            [(n_days, _q)], "n long, q long"
+        )
+    else:
+        # localCheckpoint: the block-ranked core evaluates its input
+        # three times (split probe, block sizes, final pass) — without
+        # the checkpoint each pass would recompute the O(days²) pairwise
+        # self-join; the (d, count) table it pins is far smaller than the
+        # pair table (distinct differences only).
+        byd = (
+            pairs.groupBy("d")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        cdf = exact_global_keyed_cumsum(byd, "d", "c", "d", "cum")
+        sel = (
+            cdf.filter(F.col("cum") >= k)
+            .agg(F.min("d").cast("long").alias("q"))
+            .select(F.lit(n_days).cast("long").alias("n"), "q")
+        )
     mom = daily.agg(
         F.count(F.lit(1)).cast("long").alias("mn"),
         F.sum("y").cast("long").alias("s"),

@@ -145,55 +145,70 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum("k").cast("double").alias("n"),
     )
-    for _t in range(_SWEEPS):
-        row_cols = []
+    # r12: the five sweeps were UNROLLED as five chained 15-expression
+    # selects on a 1-row frame — correct, but the expression tree grew
+    # to thousands of nodes and ANALYSIS/CODEGEN time (~3.5s) dwarfed
+    # the data work. The table is domain-bounded (15 cells — the
+    # events_markov_reach 25-cell device), so the sweeps now run
+    # driver-side in NumPy float64 with the IDENTICAL operation order
+    # (row pass: x·(n/5)/rowsum off the pre-pass snapshot, left-fold
+    # rowsums; column pass: x·tg/colsum; gap: left-fold rowsums,
+    # max-fold of |rowsum − n/5|) — bit-identical doubles; the
+    # round/stack/compare stays in Spark SQL unchanged.
+    import numpy as np
+
+    _r0 = it.collect()[0]
+    _x = {
+        (i, c): np.float64(_r0[f"x{i}{c}"]) for i in _ROWS for c in _COLS
+    }
+    _tg = {c: np.float64(_r0[f"tg{c}"]) for c in _COLS}
+    _n = np.float64(_r0["n"])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _t in range(_SWEEPS):
+            snap = dict(_x)
+            for i in _ROWS:
+                rowsum = None
+                for c in _COLS:
+                    rowsum = (
+                        snap[(i, c)]
+                        if rowsum is None
+                        else rowsum + snap[(i, c)]
+                    )
+                for c in _COLS:
+                    _x[(i, c)] = snap[(i, c)] * (_n / 5) / rowsum
+            snap = dict(_x)
+            for c in _COLS:
+                colsum = None
+                for i in _ROWS:
+                    colsum = (
+                        snap[(i, c)]
+                        if colsum is None
+                        else colsum + snap[(i, c)]
+                    )
+                for i in _ROWS:
+                    _x[(i, c)] = snap[(i, c)] * _tg[c] / colsum
+        _gap = None
         for i in _ROWS:
             rowsum = None
-            for s in _COLS:
+            for c in _COLS:
                 rowsum = (
-                    F.col(f"x{i}{s}")
-                    if rowsum is None
-                    else rowsum + F.col(f"x{i}{s}")
+                    _x[(i, c)] if rowsum is None else rowsum + _x[(i, c)]
                 )
-            for s in _COLS:
-                row_cols.append(
-                    (
-                        F.col(f"x{i}{s}") * (F.col("n") / 5) / rowsum
-                    ).alias(f"x{i}{s}")
-                )
-        it = it.select(
-            *row_cols, *[F.col(f"tg{s}") for s in _COLS], "n"
-        )
-        col_cols = []
-        for i in _ROWS:
-            for s in _COLS:
-                colsum = None
-                for r in _ROWS:
-                    colsum = (
-                        F.col(f"x{r}{s}")
-                        if colsum is None
-                        else colsum + F.col(f"x{r}{s}")
-                    )
-                col_cols.append(
-                    (F.col(f"x{i}{s}") * F.col(f"tg{s}") / colsum).alias(
-                        f"x{i}{s}"
-                    )
-                )
-        it = it.select(
-            *col_cols, *[F.col(f"tg{s}") for s in _COLS], "n"
-        )
-    gap = None
-    for i in _ROWS:
-        rowsum = None
-        for s in _COLS:
-            rowsum = (
-                F.col(f"x{i}{s}")
-                if rowsum is None
-                else rowsum + F.col(f"x{i}{s}")
-            )
-        g = F.abs(rowsum - F.col("n") / 5)
-        gap = g if gap is None else F.greatest(gap, g)
-    fin = it.select("*", gap.alias("gap"))
+            g = np.abs(rowsum - _n / 5)
+            _gap = g if _gap is None else np.maximum(_gap, g)
+    it = spark.createDataFrame(
+        [
+            tuple(float(_x[(i, c)]) for i in _ROWS for c in _COLS)
+            + tuple(float(_tg[c]) for c in _COLS)
+            + (float(_n), float(_gap))
+        ],
+        ", ".join(
+            [f"x{i}{c} double" for i in _ROWS for c in _COLS]
+            + [f"tg{c} double" for c in _COLS]
+            + ["n double", "gap double"]
+        ),
+    )
+    fin = it
     stack_args = []
     for i in _ROWS:
         for s in _COLS:

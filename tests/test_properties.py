@@ -1791,6 +1791,13 @@ _COLLECT_OK = {
     # ANY corpus scale) + 1-row bounds — the sequential Viterbi DP
     # runs driver-side like events_markov_reach's 25-cell recurrence
     ("wave167.py", "events_kleinberg_bursts"),
+    # calendar-bounded daily series collects (≤ days-of-history rows
+    # at ANY corpus scale, gated) — the bounded O(days²) pairwise rank
+    # selections run driver-side in NumPy (r12); the distributed pair
+    # joins remain as the past-gate fallbacks
+    ("wave65.py", "agg_hl_shift_2sample"),
+    ("wave91.py", "ts_qn_scale"),
+    ("wave162.py", "ts_passing_bablok"),
     # 1-row scalar aggregates (grand totals, maxima, anchors, averages)
     ("analytics3.py", "orders_pareto_abc"),
     ("classics.py", "supplier_top_revenue"),
@@ -1826,6 +1833,14 @@ _COLLECT_OK = {
     # ≤ |event_type|² transition matrix (domain bound, not data
     # bound) — the 5-step recurrence runs driver-side over ≤25 cells
     ("wave14.py", "events_markov_reach"),
+    # r12, same domain-bounded device: ≤25-cell transition/type-pair
+    # collects; the K-power / 4-layer-BFS recurrences run driver-side
+    ("wave105.py", "events_markov_stationary"),
+    ("wave85.py", "graph_harmonic_centrality"),
+    # r12: one 1-row collect of the 15-cell pivot — the five IPF
+    # sweeps run driver-side in identical-order float64 (the unrolled
+    # 15-expression select chains were pure plan-compilation cost)
+    ("wave95.py", "agg_raking_ipf"),
     # one-time 25-row dim staging into the avro/json fixture feeds
     ("sources.py", "scan_avro"),
     ("sources.py", "scan_json_corrupt"),
