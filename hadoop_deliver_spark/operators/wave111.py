@@ -102,10 +102,25 @@ def llm_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join families (map-side-combined inputs), a LEFT join to
     keep bigram-empty pairs, one broadcast-size length join."""
     d = tbl(spark, sf_dir, "documents")
-    pairs = api.minhash_pairs(d, "doc_id", "text", threshold=0.5).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    # r12: pin the (tiny, memoized-candidate) pair list once — it is
+    # consumed three times below — and prefilter the gram-count base
+    # to documents that actually appear in a pair (left-semi on the
+    # ≤2·|pairs| id set): every downstream use is an inner/semi join
+    # against pair ids, so the filter is lossless, and the uni/bi
+    # explode+count passes shrink ~10× on this corpus.
+    pairs = (
+        api.minhash_pairs(d, "doc_id", "text", threshold=0.5)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .localCheckpoint(eager=True)
     )
-    base = d.where(F.length("text") > 0)
+    pdocs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    base = d.where(F.length("text") > 0).join(
+        F.broadcast(pdocs), "doc_id", "left_semi"
+    )
     toks = F.split("text", " ")
     uni = (
         base.select("doc_id", F.explode(toks).alias("w"))

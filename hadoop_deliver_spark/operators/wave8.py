@@ -114,25 +114,42 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cid", "e", d2.alias("d2"), simc.alias("simc")
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # r12: materialize the assignment once — both sides of the
+    # within-cell pair join plus the final labeling re-ran the
+    # 10-centroid crossJoin + argmin window otherwise (3 full lineage
+    # executions measured at sf0.1).
+    # the per-vector norm is also computed HERE once (it was
+    # re-evaluated per PAIR inside the cosine below — two extra
+    # interpreted 64-element folds per candidate pair; same double
+    # value either way, the fold is deterministic per vector)
     asg = (
         d.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), "simc", "e")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            "simc",
+            "e",
+            api.vec_norm(F.col("e")).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
     )
     x = asg.select(
         F.col("cluster"),
         F.col("vec_id").alias("va"),
         F.col("simc").alias("sa"),
         F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     y = asg.select(
         F.col("cluster"),
         F.col("vec_id").alias("vb"),
         F.col("simc").alias("sb"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     cos_ab = api.dot(F.col("ea"), F.col("eb")) / (
-        api.vec_norm(F.col("ea")) * api.vec_norm(F.col("eb"))
+        F.col("na") * F.col("nb")
     )
     pairs = (
         x.join(y, "cluster")
